@@ -1,0 +1,39 @@
+"""general_mcmc_tpu — a TPU-native MCMC framework built from scratch in JAX.
+
+Capabilities mirror the Rust reference ``SauersML/general-mcmc`` (lib.rs:1-227):
+Metropolis–Hastings, Gibbs, batched HMC, and NUTS with dual-averaging and
+mass-matrix warmup; streaming and batch convergence diagnostics (split-R-hat,
+FFT ESS); progress tracking; CSV/Arrow/Parquet export; deterministic seeding.
+The architecture is idiomatic JAX: targets are pure jittable log-density
+functions, chains are a vmapped batch advanced by fused ``lax.scan`` loops,
+NUTS tree doubling is an iterative on-device ``lax.while_loop``, and chains
+shard across chips via ``shard_map`` over a device mesh.
+"""
+
+from .core import init, init_det, init_with_seed
+from .diagnostics.stats import (
+    BasicStats,
+    ChainStats,
+    ChainTracker,
+    MultiChainTracker,
+    RunStats,
+    basic_stats,
+    collect_rhat,
+    ess_from_chainstats,
+    max_skipnan,
+    split_rhat_mean_ess,
+)
+from .models import distributions
+from .models.distributions import (
+    Binomial,
+    Categorical,
+    DiffableGaussian2D,
+    Gaussian2D,
+    GaussianND,
+    IsotropicGaussian,
+    Poisson,
+    Rosenbrock2D,
+    RosenbrockND,
+)
+
+__version__ = "0.1.0"

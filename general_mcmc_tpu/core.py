@@ -1,0 +1,137 @@
+"""Chain runtime: initializers and the fused scan-based chain runner.
+
+The Rust reference's chain runtime (core.rs) runs each chain in its own Rayon
+task around a serial hot loop (``run_chain``, core.rs:95-115) and aggregates
+progress via mpsc channels (``ChainRunner::run_progress``, core.rs:251-403).
+The TPU-native design inverts this: *all* chains advance together as one
+batched tensor program — a single ``lax.scan`` over steps whose body is the
+(vmapped) transition kernel — so the whole sampling run is one XLA program
+with no host round-trips.  Burn-in and collection are two scans sharing the
+same step function (discard scan carries no outputs, so XLA allocates nothing
+for it).
+
+Progress mode (the analog of core.rs:251-403's channel/progress-bar plumbing)
+chunk-wise re-enters jit from the host at a throttled cadence; the hot path of
+``run`` itself contains zero callbacks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rng import as_key
+
+__all__ = [
+    "init",
+    "init_det",
+    "init_with_seed",
+    "run_kernel",
+    "run_kernel_progress",
+    "KernelRun",
+]
+
+DEFAULT_SEED = 42  # init_det's fixed seed, matching core.rs:449-452.
+
+
+def init_with_seed(n_chains: int, dim: int, seed, dtype=jnp.float32) -> jax.Array:
+    """n_chains × dim standard-normal starting positions (core.rs:456-459)."""
+    return jax.random.normal(as_key(seed), (n_chains, dim), dtype=dtype)
+
+
+def init_det(n_chains: int, dim: int, dtype=jnp.float32) -> jax.Array:
+    """Deterministic standard-normal inits with seed 42 (core.rs:449-452)."""
+    return init_with_seed(n_chains, dim, DEFAULT_SEED, dtype=dtype)
+
+
+def init(n_chains: int, dim: int, dtype=jnp.float32) -> jax.Array:
+    """Random standard-normal starting positions (core.rs:434-444)."""
+    import random
+
+    return init_with_seed(n_chains, dim, random.getrandbits(63), dtype=dtype)
+
+
+class KernelRun(NamedTuple):
+    """Result of a raw kernel run: final carry + collected states."""
+
+    carry: Any
+    # [n_collect, n_chains, dim] states, in collection order.
+    samples: jax.Array
+
+
+def _scan_steps(step_fn, carry, start: int, n_steps: int, collect: bool):
+    """Scan ``step_fn`` over absolute step indices [start, start+n_steps)."""
+
+    def body(c, m):
+        c = step_fn(c, m)
+        out = step_fn.extract(c) if collect else None
+        return c, out
+
+    steps = jnp.arange(start, start + n_steps)
+    carry, ys = jax.lax.scan(body, carry, steps)
+    return carry, ys
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _run_compiled(step_fn, carry, n_collect: int, n_discard: int):
+    if n_discard > 0:
+        carry, _ = _scan_steps(step_fn, carry, 0, n_discard, collect=False)
+    carry, samples = _scan_steps(step_fn, carry, n_discard, n_collect, collect=True)
+    return carry, samples
+
+
+def run_kernel(step_fn, carry, n_collect: int, n_discard: int) -> KernelRun:
+    """Advance a transition kernel ``n_discard + n_collect`` steps, collecting
+    the post-step states of the last ``n_collect`` (run_chain, core.rs:95-115).
+
+    ``step_fn`` must be hashable (use a module-level function or a frozen
+    dataclass) with signature ``step_fn(carry, m) -> carry`` where ``m`` is the
+    absolute 0-based step index, and expose ``step_fn.extract(carry)`` mapping
+    a carry to the [n_chains, dim] state snapshot to record.
+    """
+    carry, samples = _run_compiled(step_fn, carry, n_collect, n_discard)
+    return KernelRun(carry, samples)
+
+
+def run_kernel_progress(
+    step_fn,
+    carry,
+    n_collect: int,
+    n_discard: int,
+    callback: Callable[[int, jax.Array], None],
+    chunk: int = 64,
+) -> KernelRun:
+    """Like :func:`run_kernel` but yields to ``callback(step_count, states)``
+    after every ``chunk`` steps, where ``states`` is the [chunk, n_chains, dim]
+    block of post-step states (burn-in included).  This is the TPU analog of
+    the reference's throttled mpsc progress channels (core.rs:132-179): the
+    sampler stays jitted per chunk; the host only sees chunk boundaries.
+
+    Returns the same collected samples as :func:`run_kernel`.
+    """
+    total = n_discard + n_collect
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run_chunk(c, n, start):
+        def body(cc, i):
+            cc = step_fn(cc, start + i)
+            return cc, step_fn.extract(cc)
+
+        return jax.lax.scan(body, c, jnp.arange(n))
+
+    blocks = []
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        carry, states = run_chunk(carry, n, done)
+        done += n
+        callback(done, states)
+        # Only keep post-burn-in states on host.
+        if done > n_discard:
+            keep = min(n, done - n_discard)
+            blocks.append(states[n - keep :])
+    samples = jnp.concatenate(blocks, axis=0) if blocks else jnp.zeros((0,))
+    return KernelRun(carry, samples)

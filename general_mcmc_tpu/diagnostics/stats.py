@@ -1,0 +1,394 @@
+"""Convergence diagnostics: streaming trackers, split-R-hat, FFT-based ESS.
+
+TPU-native rebuild of the reference's stats.rs (910 LoC): the same Stan
+methodology (stats.rs:520-522 cites the Stan reference manual), but all batch
+math runs on device over the whole ``[chains, steps, params]`` tensor at once
+— autocovariance is a single batched ``jnp.fft.rfft`` instead of
+rayon-parallel per-parameter rustfft loops (stats.rs:603-647), and the Geyer
+initial-monotone-sequence truncation (stats.rs:545-573) is vectorized with
+cumulative ops instead of a sequential break.
+
+Deviations from the reference (both deliberate, documented in SURVEY.md §3.4):
+
+- ``split_rhat`` returns ``sqrt(var_plus / within)`` (Stan's orientation).
+  The reference's split path computes the reciprocal ``sqrt(W/V̂)``
+  (stats.rs:452-454) while its streaming path uses the Stan orientation
+  (stats.rs:148-151, 314-318); we follow Stan in both.
+- ``collect_rhat`` divides the between-chain variance by ``(n_chains - 1)``;
+  the reference divides by ``n_chains * n_params - 1`` (an element-count
+  artifact, stats.rs:183).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ALPHA",
+    "ChainStats",
+    "ChainTracker",
+    "MultiChainTracker",
+    "collect_rhat",
+    "max_skipnan",
+    "split_rhat_mean_ess",
+    "ess_from_chainstats",
+    "autocov",
+    "autocov_fft",
+    "autocov_bf",
+    "basic_stats",
+    "BasicStats",
+    "RunStats",
+]
+
+# EWMA smoothing constant for streaming acceptance estimates (stats.rs:11).
+ALPHA = 0.01
+
+# Lag count at or below which brute-force autocovariance beats FFT
+# (stats.rs:575-581 crossover).
+_AUTOCOV_BF_MAX = 100
+
+
+class ChainStats(NamedTuple):
+    """Sufficient statistics of one chain (stats.rs:41-46).
+
+    The merge-sufficient-statistics protocol: progress aggregation pools
+    these across chains (reference: mpsc channels; here: a stacked array or a
+    psum over a device mesh).
+    """
+
+    n: jax.Array  # number of steps tracked
+    p_accept: jax.Array  # EWMA acceptance probability
+    mean: jax.Array  # [n_params] running mean
+    sm2: jax.Array  # [n_params] running (unbiased) variance
+
+
+class _TrackerState(NamedTuple):
+    n: jax.Array
+    p_accept: jax.Array
+    last_state: jax.Array
+    mean: jax.Array
+    mean_sq: jax.Array
+
+
+def _tracker_update(state: _TrackerState, x: jax.Array) -> _TrackerState:
+    """One streaming update of running mean / mean-square / p_accept.
+
+    Matches ChainTracker::step (stats.rs:87-124): mean and mean_sq are
+    incremental averages; acceptance is inferred from state change and
+    smoothed with EWMA(ALPHA), with the first step initializing the EWMA
+    from the accept indicator itself (stats.rs:104-114).
+    """
+    n = state.n + 1
+    nf = n.astype(state.mean.dtype)
+    mean = (state.mean * (nf - 1.0) + x) / nf
+    mean_sq = jnp.where(n == 1, x * x, (state.mean_sq * (nf - 1.0) + x * x) / nf)
+    accepted = jnp.any(x != state.last_state).astype(state.p_accept.dtype)
+    p_start = jnp.where(state.p_accept >= 0.0, state.p_accept, accepted)
+    p_accept = (1.0 - ALPHA) * p_start + ALPHA * accepted
+    return _TrackerState(n, p_accept, x, mean, mean_sq)
+
+
+class ChainTracker:
+    """Streaming statistics for a single chain (stats.rs:24-139)."""
+
+    def __init__(self, n_params: int, initial_state, dtype=jnp.float32):
+        init = jnp.asarray(initial_state, dtype)
+        self._state = _TrackerState(
+            n=jnp.zeros((), jnp.int32),
+            p_accept=jnp.asarray(-1.0, dtype),
+            last_state=init,
+            mean=jnp.zeros(n_params, dtype),
+            mean_sq=jnp.zeros(n_params, dtype),
+        )
+        self._update = jax.jit(_tracker_update)
+
+    def step(self, x):
+        self._state = self._update(self._state, jnp.asarray(x, self._state.mean.dtype))
+
+    def stats(self) -> ChainStats:
+        s = self._state
+        nf = s.n.astype(s.mean.dtype)
+        sm2 = (s.mean_sq - s.mean**2) * nf / (nf - 1.0)
+        return ChainStats(s.n, s.p_accept, s.mean, sm2)
+
+
+def _multi_update(state: _TrackerState, x: jax.Array) -> _TrackerState:
+    """MultiChainTracker::step (stats.rs:238-269): x is [n_chains, n_params].
+
+    The acceptance EWMA is folded sequentially across chains within the step
+    (stats.rs:260-265); the closed form below reproduces that fold exactly:
+    p' = (1-a)^C p + a * sum_i (1-a)^(C-1-i) * accepted_i.
+    """
+    n = state.n + 1
+    nf = n.astype(state.mean.dtype)
+    mean = (state.mean * (nf - 1.0) + x) / nf
+    mean_sq = jnp.where(n == 1, x * x, (state.mean_sq * (nf - 1.0) + x * x) / nf)
+    accepted = jnp.any(x != state.last_state, axis=1).astype(state.p_accept.dtype)
+    c = accepted.shape[0]
+    decay = (1.0 - ALPHA) ** jnp.arange(c - 1, -1, -1, dtype=state.p_accept.dtype)
+    p_accept = (1.0 - ALPHA) ** c * state.p_accept + ALPHA * jnp.sum(decay * accepted)
+    return _TrackerState(n, p_accept, x, mean, mean_sq)
+
+
+def _multi_within_and_var(state: _TrackerState):
+    """within_and_var (stats.rs:320-338), golden-tested by stats.rs:734-783."""
+    nf = state.n.astype(state.mean.dtype)
+    n_chains = state.mean.shape[0]
+    mean_chain = jnp.mean(state.mean, axis=0)
+    fac = nf / (n_chains - 1.0)
+    between = jnp.sum((state.mean - mean_chain) ** 2, axis=0) * fac
+    sm2 = (state.mean_sq - state.mean**2) * nf / (nf - 1.0)
+    within = jnp.mean(sm2, axis=0)
+    var = within * ((nf - 1.0) / nf) + between * (1.0 / nf)
+    return within, var
+
+
+class MultiChainTracker:
+    """Streaming cross-chain statistics (stats.rs:199-339): running per-chain
+    mean/mean-square plus a pooled acceptance EWMA, yielding live R-hat.
+    """
+
+    def __init__(self, n_chains: int, n_params: int, dtype=jnp.float32):
+        self._state = _TrackerState(
+            n=jnp.zeros((), jnp.int32),
+            p_accept=jnp.zeros((), dtype),
+            last_state=jnp.zeros((n_chains, n_params), dtype),
+            mean=jnp.zeros((n_chains, n_params), dtype),
+            mean_sq=jnp.zeros((n_chains, n_params), dtype),
+        )
+        self._update = jax.jit(_multi_update)
+        self._update_batch = jax.jit(
+            lambda s, xs: jax.lax.scan(lambda c, x: (_multi_update(c, x), None), s, xs)[0]
+        )
+
+    @property
+    def p_accept(self) -> float:
+        return float(self._state.p_accept)
+
+    def step(self, x):
+        self._state = self._update(self._state, jnp.asarray(x, self._state.mean.dtype))
+
+    def step_batch(self, xs):
+        """Update with a [steps, n_chains, n_params] block in one jit call."""
+        self._state = self._update_batch(
+            self._state, jnp.asarray(xs, self._state.mean.dtype)
+        )
+
+    def rhat(self) -> jax.Array:
+        """R-hat per parameter, sqrt(var_plus/W) (stats.rs:314-318)."""
+        within, var = _multi_within_and_var(self._state)
+        return jnp.sqrt(var / within)
+
+    def max_rhat(self) -> float:
+        return float(jnp.max(self.rhat()))
+
+    def stats(self, sample) -> "RunStats":
+        """Batch post-hoc stats from the full sample (stats.rs:271-294)."""
+        return RunStats.from_sample(sample)
+
+
+def collect_rhat(chain_stats: list[ChainStats]) -> jax.Array:
+    """Pooled R-hat from per-chain sufficient statistics (stats.rs:148-151,
+    165-188).  Used by the progress aggregator; see module docstring for the
+    between-variance denominator deviation.
+    """
+    means = jnp.stack([cs.mean for cs in chain_stats])
+    sm2s = jnp.stack([cs.sm2 for cs in chain_stats])
+    ns = jnp.stack([jnp.asarray(cs.n, means.dtype) for cs in chain_stats])
+    within = jnp.mean(sm2s, axis=0)
+    gmean = jnp.mean(means, axis=0)
+    c = means.shape[0]
+    between = jnp.sum((means - gmean) ** 2, axis=0) / (c - 1.0)
+    n = jnp.mean(ns)
+    var = between + within * ((n - 1.0) / n)
+    return jnp.sqrt(var / within)
+
+
+def max_skipnan(values) -> float:
+    """Max of the finite entries; NaN when all entries are NaN
+    (stats.rs:156-163)."""
+    values = jnp.asarray(values)
+    any_ok = jnp.any(~jnp.isnan(values))
+    mx = jnp.max(jnp.where(jnp.isnan(values), -jnp.inf, values))
+    return float(jnp.where(any_ok, mx, jnp.nan))
+
+
+# ---------------------------------------------------------------------------
+# Batch (post-hoc) diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _splitcat(sample: jax.Array) -> jax.Array:
+    """(c, n, p) -> (2c, n//2, p) by splitting each chain in half
+    (stats.rs:419-425; odd middle observation dropped)."""
+    n = sample.shape[1]
+    half = n // 2
+    return jnp.concatenate([sample[:, :half], sample[:, n - half :]], axis=0)
+
+
+def _withinvar(sample: jax.Array):
+    """Per-parameter within-chain variance W and pooled variance estimate V̂
+    (stats.rs:456-504).  ``sample`` is (chains, steps, params)."""
+    n = sample.shape[1]
+    c = sample.shape[0]
+    chain_means = jnp.mean(sample, axis=1)  # (c, p)
+    overall = jnp.mean(chain_means, axis=0)  # (p,)
+    b = jnp.sum((chain_means - overall) ** 2, axis=0) * (n / (c - 1.0))
+    sq = jnp.mean((sample - chain_means[:, None, :]) ** 2, axis=1)  # biased /n
+    w = jnp.mean(sq, axis=0)
+    v = ((n - 1.0) / n) * w + b / n
+    return w, v
+
+
+def autocov_fft(sample: jax.Array) -> jax.Array:
+    """Autocovariance of each column of an (n, d) array via zero-padded FFT
+    (stats.rs:603-647).  Biased normalization (divides by n).  Batched: also
+    accepts (..., n, d) and vectorizes over leading axes.
+    """
+    n = sample.shape[-2]
+    n_padded = 1
+    while n_padded < 2 * n - 1:
+        n_padded <<= 1
+    centered = sample - jnp.mean(sample, axis=-2, keepdims=True)
+    f = jnp.fft.rfft(centered, n=n_padded, axis=-2)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=n_padded, axis=-2)[..., :n, :]
+    return acov / n
+
+
+def autocov_bf(sample: jax.Array) -> jax.Array:
+    """Brute-force autocovariance (stats.rs:659-681); O(n²) but cheap for the
+    short-series regime, as one masked matmul on the MXU."""
+    n = sample.shape[-2]
+    centered = sample - jnp.mean(sample, axis=-2, keepdims=True)
+    # lagmat[lag, t] = 1 if t + lag < n  →  acov[lag] = Σ_t x[t]·x[t+lag]
+    idx = jnp.arange(n)
+    gather = idx[:, None] + idx[None, :]  # (lag, t) -> t+lag
+    valid = gather < n
+    shifted = jnp.where(
+        valid[..., None], jnp.take(centered, jnp.minimum(gather, n - 1), axis=-2), 0.0
+    )  # (..., lag, t, d)
+    return jnp.einsum("...td,...ltd->...ld", centered, shifted) / n
+
+
+def autocov(sample: jax.Array) -> jax.Array:
+    """Dispatch brute-force vs FFT on series length (stats.rs:575-581)."""
+    if sample.shape[-2] <= _AUTOCOV_BF_MAX:
+        return autocov_bf(sample)
+    return autocov_fft(sample)
+
+
+def _geyer_tau(rho: jax.Array) -> jax.Array:
+    """Integrated autocorrelation time from normalized rho (steps, params):
+    pairwise sums, truncated at the first non-positive pair, enforced
+    monotone non-increasing (stats.rs:545-573).
+    """
+    n = rho.shape[0]
+    n_pairs = n // 2
+    pairs = rho[: 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]  # (n_pairs, p)
+    positive_prefix = jnp.cumprod(pairs > 0.0, axis=0).astype(rho.dtype)
+    mono = jax.lax.cummin(pairs, axis=0)
+    out = jnp.sum(mono * positive_prefix, axis=0)
+    return -1.0 + 2.0 * out
+
+
+def _ess(sample: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
+    """ESS per parameter (stats.rs:523-573): average per-chain autocovariance,
+    normalize to rho via (W, V̂), Geyer truncation, N_eff = c·n/τ."""
+    c, n, _ = sample.shape
+    avg_rho = jnp.mean(autocov(sample), axis=0)  # (n, p)
+    rho = 1.0 - (within - avg_rho) / var
+    tau = _geyer_tau(rho)
+    return (c * n) / tau
+
+
+@functools.partial(jax.jit, static_argnames=("split",))
+def _split_rhat_ess_impl(sample: jax.Array, split: bool = True):
+    sample = sample.astype(jnp.float32)
+    if split:
+        sample = _splitcat(sample)
+    within, var = _withinvar(sample)
+    rhat = jnp.sqrt(var / within)
+    return rhat, _ess(sample, within, var)
+
+
+def split_rhat_mean_ess(sample):
+    """Split-R-hat and ESS per parameter, Stan methodology
+    (stats.rs:439-450).  ``sample`` is (chains, observations, parameters);
+    each chain is split in half and both metrics are computed over the 2c
+    half-chains, entirely on device.
+    """
+    return _split_rhat_ess_impl(jnp.asarray(sample), split=True)
+
+
+def ess_from_chainstats(sample, chain_stats: list[ChainStats]) -> jax.Array:
+    """ESS using streaming (unsplit) chain statistics (stats.rs:695-698)."""
+    sample = jnp.asarray(sample, jnp.float32)
+    means = jnp.stack([cs.mean for cs in chain_stats])
+    sm2s = jnp.stack([cs.sm2 for cs in chain_stats])
+    ns = jnp.stack([jnp.asarray(cs.n, jnp.float32) for cs in chain_stats])
+    within = jnp.mean(sm2s, axis=0)
+    gmean = jnp.mean(means, axis=0)
+    c = means.shape[0]
+    between = jnp.sum((means - gmean) ** 2, axis=0) / (c - 1.0)
+    n = jnp.mean(ns)
+    var = between + within * ((n - 1.0) / n)
+    return _ess(sample, within, var)
+
+
+# ---------------------------------------------------------------------------
+# Summaries
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BasicStats:
+    """min/median/max/mean/std summary of a metric vector (stats.rs:396-415)."""
+
+    name: str
+    min: float
+    median: float
+    max: float
+    mean: float
+    std: float
+
+    def __str__(self):
+        return (
+            f"{self.name} in [{self.min:.2f}, {self.max:.2f}], "
+            f"median: {self.median:.2f}, mean: {self.mean:.2f} ± {self.std:.2f}"
+        )
+
+
+def basic_stats(name: str, data) -> BasicStats:
+    """Summary statistics matching basic_stats (stats.rs:342-368): data is
+    sorted descending and the median taken at index len//2 of that order."""
+    arr = np.sort(np.asarray(jax.device_get(data)).ravel())[::-1]
+    return BasicStats(
+        name=name,
+        min=float(arr[-1]),
+        median=float(arr[len(arr) // 2]),
+        max=float(arr[0]),
+        mean=float(arr.mean()),
+        std=float(arr.std(ddof=1)) if len(arr) > 1 else 0.0,
+    )
+
+
+@dataclasses.dataclass
+class RunStats:
+    """ESS + split-R-hat summaries of a finished run (stats.rs:370-394)."""
+
+    ess: BasicStats
+    rhat: BasicStats
+
+    def __str__(self):
+        return f"{self.ess}\n{self.rhat}"
+
+    @classmethod
+    def from_sample(cls, sample) -> "RunStats":
+        rhat, ess = split_rhat_mean_ess(sample)
+        return cls(ess=basic_stats("ESS", ess), rhat=basic_stats("Split R-hat", rhat))

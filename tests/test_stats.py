@@ -1,0 +1,148 @@
+"""Diagnostics golden tests ported from the reference's stats.rs test module.
+
+Golden expectations come from stats.rs:734-783 (streaming R-hat),
+stats.rs:808-839 (autocovariance BF + FFT), and stats.rs:842-865 (iid ESS
+sanity).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from general_mcmc_tpu.diagnostics.stats import (
+    ChainTracker,
+    MultiChainTracker,
+    RunStats,
+    autocov_bf,
+    autocov_fft,
+    basic_stats,
+    collect_rhat,
+    max_skipnan,
+    split_rhat_mean_ess,
+)
+
+
+def _run_rhat_test(data0, data1, expected, tol):
+    """Mirrors run_rhat_test_generic (stats.rs:712-732)."""
+    tracker = MultiChainTracker(3, 4)
+    tracker.step(jnp.asarray(data0, jnp.float32))
+    tracker.step(jnp.asarray(data1, jnp.float32))
+    rhat = np.asarray(tracker.rhat())
+    np.testing.assert_allclose(rhat, expected, atol=tol)
+
+
+def test_rhat_golden_1():
+    # stats.rs:734-751
+    data0 = [[0.0, 1.0, 0.0, 1.0], [1.0, 2.0, 0.0, 2.0], [0.0, 0.0, 0.0, 2.0]]
+    data1 = [[1.0, 2.0, 2.0, 0.0], [1.0, 1.0, 1.0, 1.0], [0.0, 1.0, 0.0, 0.0]]
+    expected = [np.sqrt(2.0), 1.0801234, 0.8944271, 0.8660254]
+    _run_rhat_test(data0, data1, expected, 1e-6)
+
+
+def test_rhat_golden_2():
+    # stats.rs:769-783
+    data0 = [[1.0, 0.0, 0.0, 1.0], [1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 2.0]]
+    data1 = [[1.0, 2.0, 0.0, 2.0], [1.0, 2.0, 0.0, 0.0], [2.0, 0.0, 1.0, 2.0]]
+    expected = [1.0 / np.sqrt(2.0), 0.74535599, 1.0, 1.5]
+    _run_rhat_test(data0, data1, expected, 1e-6)
+
+
+def test_autocov_single_param():
+    # stats.rs:808-820
+    data = jnp.array([[1.0], [2.0], [3.0], [4.0]], jnp.float32)
+    expected = np.array([[1.25], [0.3125], [-0.375], [-0.5625]])
+    np.testing.assert_allclose(np.asarray(autocov_bf(data)), expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(autocov_fft(data)), expected, atol=1e-6)
+
+
+def test_autocov_two_params():
+    # stats.rs:825-839
+    data = jnp.array([[1.0, 0.3], [2.0, 2.0], [3.0, -2.0], [4.0, 5.0]], jnp.float32)
+    expected = np.array(
+        [
+            [1.25, 6.516875],
+            [0.3125, -3.7889063],
+            [-0.375, 1.4721875],
+            [-0.5625, -0.94171875],
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(autocov_bf(data)), expected, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(autocov_fft(data)), expected, atol=1e-5)
+
+
+def test_autocov_bf_fft_agree_long():
+    """BF and FFT must agree above the crossover too (stats.rs checks both)."""
+    key = jax.random.key(0)
+    data = jax.random.normal(key, (257, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(autocov_bf(data)), np.asarray(autocov_fft(data)), atol=1e-4
+    )
+
+
+def test_ess_iid_sanity():
+    # stats.rs:842-865: 4 chains × 1000 iid uniforms → ESS near the sample
+    # count, split R-hat ≈ 1.
+    key = jax.random.key(42)
+    data = jax.random.uniform(key, (4, 1000, 1), jnp.float32)
+    stats = RunStats.from_sample(data)
+    assert stats.ess.min > 3000.0
+    assert stats.rhat.max < 1.01
+
+
+def test_split_rhat_detects_disagreement():
+    """Chains at different locations must show R-hat >> 1 (Stan orientation:
+    sqrt(var_plus/W) > 1 for disagreeing chains)."""
+    key = jax.random.key(1)
+    base = jax.random.normal(key, (4, 500, 2), jnp.float32)
+    shifted = base + jnp.arange(4.0)[:, None, None] * 5.0
+    rhat, _ = split_rhat_mean_ess(shifted)
+    assert float(jnp.min(rhat)) > 1.5
+
+
+def test_split_rhat_correlated_chain_low_ess():
+    """A strongly autocorrelated series must have ESS far below n."""
+    key = jax.random.key(2)
+    noise = np.asarray(jax.random.normal(key, (4, 1000), jnp.float32))
+    ar = np.zeros_like(noise)
+    for t in range(1, noise.shape[1]):
+        ar[:, t] = 0.95 * ar[:, t - 1] + noise[:, t]
+    _, ess = split_rhat_mean_ess(ar[:, :, None])
+    assert float(ess[0]) < 600.0
+
+
+def test_chain_tracker_stats():
+    tracker = ChainTracker(2, [0.0, 0.0])
+    xs = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    for x in xs:
+        tracker.step(jnp.asarray(x))
+    s = tracker.stats()
+    np.testing.assert_allclose(np.asarray(s.mean), [3.0, 4.0], atol=1e-6)
+    # unbiased variance of [1,3,5] and [2,4,6] is 4.0
+    np.testing.assert_allclose(np.asarray(s.sm2), [4.0, 4.0], atol=1e-5)
+    assert int(s.n) == 3
+
+
+def test_collect_rhat_pooled():
+    """collect_rhat pools ChainStats; iid-equal chains give rhat ≈ 1."""
+    trackers = [ChainTracker(2, [0.0, 0.0]) for _ in range(3)]
+    key = jax.random.key(3)
+    for i, tr in enumerate(trackers):
+        draws = jax.random.normal(jax.random.fold_in(key, i), (200, 2))
+        for x in draws:
+            tr.step(x)
+    rhat = collect_rhat([tr.stats() for tr in trackers])
+    assert float(jnp.max(jnp.abs(rhat - 1.0))) < 0.1
+
+
+def test_max_skipnan():
+    assert max_skipnan(jnp.array([1.0, jnp.nan, 3.0])) == 3.0
+    assert np.isnan(max_skipnan(jnp.array([jnp.nan, jnp.nan])))
+
+
+def test_basic_stats_median_descending_convention():
+    # stats.rs:342-368 sorts descending and indexes len//2.
+    bs = basic_stats("x", jnp.array([1.0, 2.0, 3.0, 4.0]))
+    assert bs.min == 1.0 and bs.max == 4.0
+    assert bs.median == 2.0  # descending [4,3,2,1], index 2
+    np.testing.assert_allclose(bs.mean, 2.5)
