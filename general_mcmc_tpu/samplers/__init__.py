@@ -1,0 +1,3 @@
+from .gibbs import GibbsSampler
+from .hmc import HMC
+from .metropolis_hastings import DiscreteWalkProposal, MetropolisHastings, RandomWalkProposal

@@ -1,0 +1,104 @@
+"""Shared batch-sampler runtime.
+
+Every sampler in this package follows the same TPU-native execution model
+(replacing the reference's per-chain Rayon tasks, core.rs:219-229, and
+per-chain progress threads, core.rs:251-403):
+
+- chain state is a batched pytree with a leading ``[n_chains]`` axis;
+- one transition step is a pure function ``carry -> carry`` (vmapped over
+  chains where the kernel is written per-chain);
+- a run is two fused ``lax.scan``s (burn-in, then collect) inside one jit;
+- progress mode re-enters jit chunk-wise and streams sufficient statistics
+  into a :class:`MultiChainTracker` — the psum-style "merge statistics, not
+  samples" analog of the reference's mpsc ChainStats channels (stats.rs:41-46).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from ..core import run_kernel, run_kernel_progress
+from ..diagnostics.stats import MultiChainTracker, RunStats
+from ..rng import as_key, chain_keys
+from ..utils.progress import ProgressRenderer
+
+__all__ = ["BatchSampler"]
+
+
+class _StepFn:
+    """Hashable (by identity) step-function wrapper for the jitted runner."""
+
+    def __init__(self, step: Callable, extract: Callable):
+        self._step = step
+        self.extract = extract
+
+    def __call__(self, carry, m):
+        return self._step(carry, m)
+
+
+class BatchSampler:
+    """Base class: subclasses implement ``_init_carry``, ``_step`` and
+    ``_positions`` and inherit ``run`` / ``run_progress`` / ``set_seed``."""
+
+    def __init__(self, n_chains: int, seed=None):
+        self.n_chains = n_chains
+        self._key = as_key(seed if seed is not None else 0)
+        self._step_fn = _StepFn(self._step, self._positions)
+
+    # -- subclass interface -------------------------------------------------
+    def _init_carry(self) -> Any:
+        raise NotImplementedError
+
+    def _step(self, carry, m):
+        raise NotImplementedError
+
+    def _positions(self, carry):
+        raise NotImplementedError
+
+    # -- seeding (parity with the reference's .seed()/set_seed builders) ----
+    def set_seed(self, seed):
+        self._key = as_key(seed)
+        return self
+
+    seed = set_seed
+
+    @property
+    def _chain_keys(self):
+        return chain_keys(self._key, self.n_chains)
+
+    # -- running ------------------------------------------------------------
+    def run(self, n_collect: int, n_discard: int = 0):
+        """Run ``n_discard + n_collect`` steps; return collected post-step
+        states as ``[n_chains, n_collect, dim]`` (ChainRunner::run,
+        core.rs:219-229)."""
+        out = run_kernel(self._step_fn, self._init_carry(), n_collect, n_discard)
+        self._final_carry = out.carry
+        return jnp.swapaxes(out.samples, 0, 1)
+
+    def run_progress(self, n_collect: int, n_discard: int = 0, progress: bool = True):
+        """Like :meth:`run` but with live progress + streaming R-hat
+        (ChainRunner::run_progress, core.rs:251-403).  Returns
+        ``(samples, RunStats)``."""
+        carry = self._init_carry()
+        dim = self._positions(carry).shape[-1]
+        total = n_discard + n_collect
+        tracker = MultiChainTracker(self.n_chains, dim)
+        renderer = (
+            ProgressRenderer(self.n_chains, total) if progress else None
+        )
+
+        def callback(done, states):
+            tracker.step_batch(states)
+            if renderer is not None:
+                renderer.update(done, tracker)
+
+        out = run_kernel_progress(
+            self._step_fn, carry, n_collect, n_discard, callback
+        )
+        if renderer is not None:
+            renderer.close()
+        self._final_carry = out.carry
+        samples = jnp.swapaxes(out.samples, 0, 1)
+        return samples, RunStats.from_sample(samples)

@@ -1,0 +1,74 @@
+"""Terminal progress display for sampling runs.
+
+TPU-native replacement for the reference's indicatif MultiProgress UI
+(core.rs:272-367, generic_nuts.rs:425-517): a global bar plus up to five
+chain bars, annotated with the streaming acceptance estimate and max R-hat.
+Because chains advance in lockstep on device, all chain bars share one
+position; they are kept for visual parity with the reference.  Rendering is
+throttled (default 4 Hz) and writes ANSI to stderr; it is fully removable —
+the non-progress run path contains no callbacks at all.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+__all__ = ["ProgressRenderer"]
+
+_BAR_WIDTH = 40
+
+
+def _bar(prefix: str, pos: int, total: int, msg: str) -> str:
+    frac = 0.0 if total == 0 else min(pos / total, 1.0)
+    filled = int(frac * _BAR_WIDTH)
+    bar = "=" * filled + (">" if filled < _BAR_WIDTH else "") + "-" * max(
+        _BAR_WIDTH - filled - 1, 0
+    )
+    return f"{prefix:<8} [{bar}] {pos}/{total} | {msg}"
+
+
+class ProgressRenderer:
+    """Multi-bar progress renderer (≤5 chain bars + global, 1 Hz stats)."""
+
+    def __init__(self, n_chains: int, total_steps: int, max_bars: int = 5,
+                 min_interval: float = 0.25, stream=None):
+        self.n_chains = n_chains
+        self.total = total_steps
+        self.n_bars = min(n_chains, max_bars)
+        self.min_interval = min_interval
+        self.stream = stream if stream is not None else sys.stderr
+        self._last_draw = 0.0
+        self._lines = 0
+
+    def update(self, done: int, tracker=None):
+        now = time.monotonic()
+        if done < self.total and now - self._last_draw < self.min_interval:
+            return
+        self._last_draw = now
+        msg = ""
+        if tracker is not None:
+            try:
+                p_acc = tracker.p_accept
+                max_rhat = tracker.max_rhat()
+                msg = f"p(accept)≈{p_acc:.2f} max(rhat)≈{max_rhat:.2f}"
+            except Exception:  # pragma: no cover - display only
+                msg = ""
+        lines = [_bar("Global", done * self.n_chains, self.total * self.n_chains, msg)]
+        for i in range(self.n_bars):
+            lines.append(_bar(f"Chain {i}", done, self.total, ""))
+        self._draw(lines)
+
+    def _draw(self, lines):
+        out = ""
+        if self._lines:
+            out += f"\x1b[{self._lines}F"  # cursor up to first bar line
+        out += "\x1b[J" + "\n".join(lines) + "\n"
+        self.stream.write(out)
+        self.stream.flush()
+        self._lines = len(lines)
+
+    def close(self):
+        if self._lines:
+            self.stream.write("\n")
+            self.stream.flush()

@@ -1,0 +1,72 @@
+"""HMC tests, porting hmc.rs:340-530 configurations and envelopes.
+
+Reference workload (hmc.rs:513-669): 2D Gaussian mean [0,1],
+cov [[4,2],[2,3]], 3 chains × 1000 collected (500 warmup), ε=0.1, L=10.
+Single-run floor: ESS > 50 per parameter (hmc.rs:509-510); R-hat near 1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from general_mcmc_tpu import DiffableGaussian2D, RosenbrockND, init_det
+from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+from general_mcmc_tpu.samplers.hmc import HMC
+
+
+def _gauss_target():
+    return DiffableGaussian2D(
+        mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+    )
+
+
+def test_hmc_shapes_and_finiteness():
+    # hmc.rs:360-454 smoke tier
+    sampler = HMC(_gauss_target(), init_det(3, 2), 0.1, 10).set_seed(42)
+    sample = sampler.run(50, 10)
+    assert sample.shape == (3, 50, 2)
+    assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_hmc_gaussian_ess_and_rhat():
+    # hmc.rs:509-510 single-run ESS floor + hmc.rs:658-668 R-hat envelope
+    sampler = HMC(_gauss_target(), init_det(3, 2), 0.1, 10).set_seed(42)
+    sample = sampler.run(1000, 500)
+    rhat, ess = split_rhat_mean_ess(sample)
+    assert float(jnp.min(ess)) > 50.0
+    assert 0.9 < float(jnp.min(rhat)) and float(jnp.max(rhat)) < 1.1
+
+
+def test_hmc_gaussian_moments():
+    sampler = HMC(_gauss_target(), init_det(4, 2), 0.25, 12).set_seed(1)
+    sample = np.asarray(sampler.run(4000, 500)).reshape(-1, 2)
+    np.testing.assert_allclose(sample.mean(axis=0), [0.0, 1.0], atol=0.3)
+    emp_cov = np.cov(sample.T)
+    np.testing.assert_allclose(emp_cov, [[4.0, 2.0], [2.0, 3.0]], atol=0.6)
+
+
+def test_hmc_rosenbrock_3d():
+    # examples/rosenbrock3d_hmc.rs / minimal_hmc.rs configuration
+    sampler = HMC(RosenbrockND(), init_det(4, 3), 0.032, 10).set_seed(42)
+    sample = sampler.run(400, 50)
+    assert sample.shape == (4, 400, 3)
+    assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_hmc_progress_path_matches_run():
+    s1 = HMC(_gauss_target(), init_det(3, 2), 0.1, 10).set_seed(9)
+    s2 = HMC(_gauss_target(), init_det(3, 2), 0.1, 10).set_seed(9)
+    a = s1.run(40, 20)
+    b, _ = s2.run_progress(40, 20, progress=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hmc_accept_preserves_gradient_consistency():
+    """Carried gradient must equal the true gradient at the carried position
+    after accept/reject masking."""
+    sampler = HMC(_gauss_target(), init_det(5, 2), 0.3, 5).set_seed(4)
+    sampler.run(10, 0)
+    x, lp, grad, _ = sampler._final_carry
+    lp_true, grad_true = jax.vmap(jax.value_and_grad(sampler.target))(x)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_true), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_true), atol=1e-6)
