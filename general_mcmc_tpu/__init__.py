@@ -24,6 +24,14 @@ from .diagnostics.stats import (
     split_rhat_mean_ess,
 )
 from .models import distributions
+from .samplers.gibbs import GibbsSampler
+from .samplers.hmc import HMC
+from .samplers.metropolis_hastings import (
+    DiscreteWalkProposal,
+    MetropolisHastings,
+    RandomWalkProposal,
+)
+from .samplers.nuts import NUTS, NUTSMassMatrixConfig
 from .models.distributions import (
     Binomial,
     Categorical,

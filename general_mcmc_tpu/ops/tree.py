@@ -1,0 +1,497 @@
+"""On-device NUTS building blocks: mass-matrix ops, leapfrog, step-size
+search, and iterative tree doubling.
+
+TPU-native rebuild of the reference's NUTS core (generic_nuts.rs).  The
+reference builds trajectory trees *recursively* on the host with a device
+sync per leapfrog (build_tree_with_mass, generic_nuts.rs:1153-1341; the code
+itself flags this as slow on GPU, nuts.rs:215-216).  Here the whole
+trajectory lives on device: tree doubling is an **iterative**
+``lax.while_loop`` using the O(max_depth) checkpoint-stack scheme for U-turn
+detection (Phan & Pradhan's iterative NUTS formulation, as used by NumPyro —
+see PAPERS.md), so a full NUTS step for *all* chains is one fused XLA
+computation under ``vmap``.
+
+Semantics preserved from the reference (same acceptance distribution):
+
+- slice variable ``logu = joint₀ - Exp(1)`` (generic_nuts.rs:764-768);
+- leaf weight ``n' = 1[logu < joint]`` and divergence check
+  ``(logu - Δ_max) < joint`` with Δ_max = 1000 (generic_nuts.rs:1198-1199);
+- progressive uniform sampling over valid leaves (the recursive pairwise
+  ``n₂/(n₁+n₂)`` swaps compose to uniform; realized here as reservoir
+  sampling), and across-doubling swaps with probability ``min(1, n'/n)``
+  (generic_nuts.rs:860-868);
+- dual-averaging statistics ``α, n_α`` taken from the *last* subtree built
+  (generic_nuts.rs:819-820, 855-856);
+- U-turn criterion via mass-weighted velocities
+  ``(θ⁺-θ⁻)·M⁻¹p^± ≥ 0`` (generic_nuts.rs:1357-1378).
+
+Deviations (documented): trajectory depth is capped at ``max_depth``
+(Stan-style; the reference doubles unboundedly), and the RNG stream is
+Threefry-based so individual draws differ from the reference's SmallRng.
+
+All functions here are written for a **single chain** and vmapped by the
+sampler; JAX's while_loop batching rule handles divergent per-chain control
+flow by masked execution.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "MassMatrix",
+    "identity_mass",
+    "kinetic_energy",
+    "inv_mass_mul",
+    "sample_momentum",
+    "leapfrog_chain",
+    "find_reasonable_epsilon",
+    "build_subtree",
+    "nuts_tree_step",
+    "SubtreeResult",
+    "TreeStepResult",
+]
+
+DELTA_MAX = 1000.0  # divergence threshold (generic_nuts.rs:1199)
+
+
+class MassMatrix(NamedTuple):
+    """Per-chain mass matrix (generic_nuts.rs:177-304).
+
+    ``inv`` is M⁻¹ ([d] diagonal or [d, d] dense); ``scale`` maps standard
+    normals to momenta (sqrt of the diagonal, or the Cholesky factor of M).
+    Identity is represented as a diagonal of ones; diagonal vs dense is a
+    static (trace-time) choice via the ``dense`` flag threaded through.
+    """
+
+    inv: jax.Array
+    scale: jax.Array
+
+
+def identity_mass(dim: int, dense: bool, dtype=jnp.float32) -> MassMatrix:
+    if dense:
+        eye = jnp.eye(dim, dtype=dtype)
+        return MassMatrix(inv=eye, scale=eye)
+    ones = jnp.ones(dim, dtype)
+    return MassMatrix(inv=ones, scale=ones)
+
+
+def inv_mass_mul(mass: MassMatrix, p: jax.Array, dense: bool) -> jax.Array:
+    """v = M⁻¹ p (generic_nuts.rs:258-276)."""
+    if dense:
+        return mass.inv @ p
+    return mass.inv * p
+
+
+def kinetic_energy(mass: MassMatrix, p: jax.Array, dense: bool) -> jax.Array:
+    """½ pᵀ M⁻¹ p (generic_nuts.rs:227-256)."""
+    return 0.5 * jnp.dot(p, inv_mass_mul(mass, p, dense))
+
+
+def sample_momentum(key, mass: MassMatrix, dense: bool) -> jax.Array:
+    """p = scale · z with z ~ N(0, I) (generic_nuts.rs:278-304)."""
+    d = mass.inv.shape[-1]
+    z = jax.random.normal(key, (d,), mass.inv.dtype)
+    if dense:
+        return mass.scale @ z
+    return mass.scale * z
+
+
+def leapfrog_chain(vg_fn: Callable, pos, mom, grad, eps, mass: MassMatrix,
+                   dense: bool):
+    """One leapfrog step for one chain (leapfrog_with_mass,
+    generic_nuts.rs:1396-1418): half-kick, mass-weighted drift, re-grad,
+    half-kick.  ``eps`` carries the direction sign.  Returns
+    ``(pos, mom, logp, grad)``.
+    """
+    half = eps * 0.5
+    mom = mom + grad * half
+    pos = pos + inv_mass_mul(mass, mom, dense) * eps
+    logp, grad = vg_fn(pos)
+    # Pin the computation dtype to the position dtype: under x64, targets
+    # with f64 parameters would otherwise promote an f32 sampling run.
+    logp = logp.astype(pos.dtype)
+    grad = grad.astype(pos.dtype)
+    mom = mom + grad * half
+    return pos, mom, logp, grad
+
+
+def _all_finite(x) -> jax.Array:
+    return jnp.all(jnp.isfinite(x))
+
+
+def find_reasonable_epsilon(vg_fn: Callable, position, mom, mass: MassMatrix,
+                            dense: bool):
+    """Heuristic initial step size (find_reasonable_epsilon_with_mass,
+    generic_nuts.rs:1025-1102): halve ε until the first leapfrog is finite,
+    then double/halve until the log-acceptance crosses ln(1/2).
+
+    Golden behavior: standard normal at [0, 1] with momentum [1, 0] yields
+    exactly ε = 2.0 (nuts.rs:508-519).
+    """
+    dtype = position.dtype
+    one = jnp.asarray(1.0, dtype)
+    ln_half = jnp.log(jnp.asarray(0.5, dtype))
+
+    ulogp, grad = vg_fn(position)
+
+    def try_eps(eps):
+        p, m, lp, g = leapfrog_chain(vg_fn, position, mom, grad, eps, mass, dense)
+        return p, m, lp, g
+
+    # Phase 1: shrink until finite (generic_nuts.rs:1057-1070).
+    _, mom1, lp1, grad1 = try_eps(one)
+
+    def finite_cond(carry):
+        k, lp_p, grad_p, _ = carry
+        return ~(jnp.isfinite(lp_p) & _all_finite(grad_p))
+
+    def finite_body(carry):
+        k, _, _, _ = carry
+        k = k * 0.5
+        _, m_p, lp_p, g_p = try_eps(one * k)
+        return k, lp_p, g_p, m_p
+
+    k, lp_prime, grad_prime, mom_prime = jax.lax.while_loop(
+        finite_cond, finite_body, (one, lp1, grad1, mom1)
+    )
+
+    eps = 0.5 * k  # epsilon = half * k * 1.0 (generic_nuts.rs:1072)
+    ke0 = kinetic_energy(mass, mom, dense)
+    log_accept = lp_prime - ulogp - (kinetic_energy(mass, mom_prime, dense) - ke0)
+    a = jnp.where(log_accept > ln_half, one, -one)
+
+    # Phase 2: geometric search until crossing ln(1/2)
+    # (generic_nuts.rs:1083-1099).
+    def cross_cond(carry):
+        eps, log_accept = carry
+        return a * log_accept > -a * jnp.log(jnp.asarray(2.0, dtype))
+
+    def cross_body(carry):
+        eps, _ = carry
+        eps = eps * jnp.asarray(2.0, dtype) ** a
+        _, m_p, lp_p, _ = try_eps(eps)
+        la = lp_p - ulogp - (kinetic_energy(mass, m_p, dense) - ke0)
+        return eps, la
+
+    eps, _ = jax.lax.while_loop(cross_cond, cross_body, (eps, log_accept))
+    return eps
+
+
+# ---------------------------------------------------------------------------
+# Iterative tree building
+# ---------------------------------------------------------------------------
+
+
+def _trailing_ones(i):
+    ip1 = i + 1
+    return jax.lax.population_count((ip1 & -ip1) - 1)
+
+
+def _ckpt_idx_max(i):
+    # number of set bits of the leaf index excluding the lowest bit
+    return jax.lax.population_count(i >> 1)
+
+
+class SubtreeResult(NamedTuple):
+    end_pos: jax.Array
+    end_mom: jax.Array
+    end_grad: jax.Array
+    first_pos: jax.Array  # state after the first leapfrog (the near edge)
+    first_mom: jax.Array
+    first_grad: jax.Array
+    prop_pos: jax.Array
+    prop_lp: jax.Array
+    prop_grad: jax.Array
+    n: jax.Array  # number of slice-valid leaves
+    s: jax.Array  # subtree still valid (no U-turn, no divergence)
+    diverged: jax.Array
+    alpha: jax.Array  # Σ min(1, exp(joint - joint₀)) over evaluated leaves
+    n_alpha: jax.Array
+
+
+def build_subtree(
+    key,
+    pos,
+    mom,
+    grad,
+    v,
+    depth,
+    eps,
+    logu,
+    joint0,
+    mass: MassMatrix,
+    dense: bool,
+    vg_fn: Callable,
+    max_depth: int,
+) -> SubtreeResult:
+    """Build one subtree of 2^depth leapfrog leaves in direction ``v`` from
+    the endpoint ``(pos, mom, grad)``.
+
+    Iterative equivalent of build_tree_with_mass (generic_nuts.rs:1153-1341):
+    leaves are produced left-to-right in travel order; internal-node U-turn
+    checks use a checkpoint stack of at most ``max_depth`` saved states, with
+    even leaves pushed at slot popcount(i>>1) and odd leaves checked against
+    slots [idx_min, idx_max] — exactly the nodes of the binary tree that end
+    at that leaf.  Early exit on divergence or U-turn reproduces the
+    recursion's short-circuit (generic_nuts.rs:1251).
+    """
+    dtype = pos.dtype
+    d = pos.shape[0]
+    n_leaves = jnp.asarray(1, jnp.int32) << depth
+    eps_v = eps * v.astype(dtype)
+
+    pos_ck = jnp.zeros((max_depth, d), dtype)
+    mom_ck = jnp.zeros((max_depth, d), dtype)
+    zerod = jnp.zeros((d,), dtype)
+
+    init = dict(
+        i=jnp.asarray(0, jnp.int32),
+        pos=pos,
+        mom=mom,
+        grad=grad,
+        first_pos=zerod,
+        first_mom=zerod,
+        first_grad=zerod,
+        prop_pos=zerod,
+        prop_lp=jnp.asarray(0.0, dtype),
+        prop_grad=zerod,
+        n=jnp.asarray(0, jnp.int32),
+        s=jnp.asarray(True),
+        diverged=jnp.asarray(False),
+        alpha=jnp.asarray(0.0, dtype),
+        n_alpha=jnp.asarray(0, jnp.int32),
+        pos_ck=pos_ck,
+        mom_ck=mom_ck,
+        key=key,
+    )
+
+    def cond(c):
+        return (c["i"] < n_leaves) & c["s"]
+
+    def body(c):
+        i = c["i"]
+        key, k_swap = jax.random.split(c["key"])
+        p, m, lp, g = leapfrog_chain(
+            vg_fn, c["pos"], c["mom"], c["grad"], eps_v, mass, dense
+        )
+        joint = lp - kinetic_energy(mass, m, dense)
+        leaf_valid = logu < joint
+        leaf_ok = (logu - jnp.asarray(DELTA_MAX, dtype)) < joint
+        alpha = c["alpha"] + jnp.minimum(
+            jnp.asarray(1.0, dtype), jnp.exp(joint - joint0)
+        )
+        n_alpha = c["n_alpha"] + 1
+
+        # Progressive uniform proposal over valid leaves; the first leaf
+        # seeds the proposal unconditionally (base case,
+        # generic_nuts.rs:1185-1222).
+        n_new = c["n"] + leaf_valid.astype(jnp.int32)
+        u = jax.random.uniform(k_swap, (), dtype)
+        take = (i == 0) | (
+            leaf_valid & (u * n_new.astype(dtype) < jnp.asarray(1.0, dtype))
+        )
+        prop_pos = jnp.where(take, p, c["prop_pos"])
+        prop_lp = jnp.where(take, lp, c["prop_lp"])
+        prop_grad = jnp.where(take, g, c["prop_grad"])
+
+        first = i == 0
+        first_pos = jnp.where(first, p, c["first_pos"])
+        first_mom = jnp.where(first, m, c["first_mom"])
+        first_grad = jnp.where(first, g, c["first_grad"])
+
+        # U-turn bookkeeping over the checkpoint stack.
+        idx_max = _ckpt_idx_max(i)
+        is_even = (i % 2) == 0
+        store = is_even & (idx_max < max_depth)
+        pos_ck = jnp.where(
+            store, c["pos_ck"].at[jnp.minimum(idx_max, max_depth - 1)].set(p),
+            c["pos_ck"],
+        )
+        mom_ck = jnp.where(
+            store, c["mom_ck"].at[jnp.minimum(idx_max, max_depth - 1)].set(m),
+            c["mom_ck"],
+        )
+
+        idx_min = idx_max - _trailing_ones(i) + 1
+        slots = jnp.arange(max_depth)
+        active = (~is_even) & (slots >= idx_min) & (slots <= idx_max)
+        # Canonical tree orientation: diff = θ⁺ - θ⁻ = v·(current - ckpt).
+        diffs = v.astype(dtype) * (p[None, :] - pos_ck)
+        if dense:
+            vel_ck = mom_ck @ mass.inv.T
+        else:
+            vel_ck = mom_ck * mass.inv[None, :]
+        vel_cur = inv_mass_mul(mass, m, dense)
+        dots_ck = jnp.sum(diffs * vel_ck, axis=1)
+        dots_cur = diffs @ vel_cur
+        turned = active & ((dots_ck < 0.0) | (dots_cur < 0.0))
+        no_turn = ~jnp.any(turned)
+
+        s = leaf_ok & no_turn
+        return dict(
+            i=i + 1,
+            pos=p,
+            mom=m,
+            grad=g,
+            first_pos=first_pos,
+            first_mom=first_mom,
+            first_grad=first_grad,
+            prop_pos=prop_pos,
+            prop_lp=prop_lp,
+            prop_grad=prop_grad,
+            n=n_new,
+            s=s,
+            diverged=c["diverged"] | ~leaf_ok,
+            alpha=alpha,
+            n_alpha=n_alpha,
+            pos_ck=pos_ck,
+            mom_ck=mom_ck,
+            key=key,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SubtreeResult(
+        end_pos=out["pos"],
+        end_mom=out["mom"],
+        end_grad=out["grad"],
+        first_pos=out["first_pos"],
+        first_mom=out["first_mom"],
+        first_grad=out["first_grad"],
+        prop_pos=out["prop_pos"],
+        prop_lp=out["prop_lp"],
+        prop_grad=out["prop_grad"],
+        n=out["n"],
+        s=out["s"],
+        diverged=out["diverged"],
+        alpha=out["alpha"],
+        n_alpha=out["n_alpha"],
+    )
+
+
+def _stop_criterion(pos_m, pos_p, mom_m, mom_p, mass, dense):
+    """Global U-turn check (stop_criterion_with_mass,
+    generic_nuts.rs:1357-1378)."""
+    diff = pos_p - pos_m
+    ok_m = jnp.dot(diff, inv_mass_mul(mass, mom_m, dense)) >= 0.0
+    ok_p = jnp.dot(diff, inv_mass_mul(mass, mom_p, dense)) >= 0.0
+    return ok_m & ok_p
+
+
+class TreeStepResult(NamedTuple):
+    pos: jax.Array
+    lp: jax.Array
+    grad: jax.Array
+    alpha: jax.Array  # last-subtree Σα (dual-averaging numerator)
+    n_alpha: jax.Array
+    depth: jax.Array  # number of doublings performed
+    diverged: jax.Array
+
+
+def nuts_tree_step(
+    key,
+    pos,
+    lp,
+    grad,
+    eps,
+    mass: MassMatrix,
+    dense: bool,
+    vg_fn: Callable,
+    max_depth: int,
+) -> TreeStepResult:
+    """One full NUTS transition for one chain (GenericNUTSChain::step,
+    generic_nuts.rs:755-880): sample momentum and slice variable, then double
+    the trajectory in random directions until U-turn/divergence (or the
+    ``max_depth`` cap)."""
+    dtype = pos.dtype
+    k_mom, k_slice, k_loop = jax.random.split(key, 3)
+    mom0 = sample_momentum(k_mom, mass, dense)
+    joint0 = lp - kinetic_energy(mass, mom0, dense)
+    logu = joint0 - jax.random.exponential(k_slice, (), dtype)
+
+    init = dict(
+        j=jnp.asarray(0, jnp.int32),
+        key=k_loop,
+        pos_m=pos,
+        mom_m=mom0,
+        grad_m=grad,
+        pos_p=pos,
+        mom_p=mom0,
+        grad_p=grad,
+        prop_pos=pos,
+        prop_lp=lp,
+        prop_grad=grad,
+        n=jnp.asarray(1, jnp.int32),
+        s=jnp.asarray(True),
+        diverged=jnp.asarray(False),
+        alpha=jnp.asarray(0.0, dtype),
+        n_alpha=jnp.asarray(1, jnp.int32),
+    )
+
+    def cond(c):
+        return c["s"] & (c["j"] < max_depth)
+
+    def body(c):
+        key, kv, kswap, ktree = jax.random.split(c["key"], 4)
+        v = jnp.where(
+            jax.random.uniform(kv, (), dtype) < 0.5,
+            jnp.asarray(-1, jnp.int32),
+            jnp.asarray(1, jnp.int32),
+        )
+        backward = v == -1
+        pos0 = jnp.where(backward, c["pos_m"], c["pos_p"])
+        mom0_ = jnp.where(backward, c["mom_m"], c["mom_p"])
+        grad0 = jnp.where(backward, c["grad_m"], c["grad_p"])
+
+        sub = build_subtree(
+            ktree, pos0, mom0_, grad0, v, c["j"], eps, logu, joint0, mass,
+            dense, vg_fn, max_depth,
+        )
+
+        pos_m = jnp.where(backward, sub.end_pos, c["pos_m"])
+        mom_m = jnp.where(backward, sub.end_mom, c["mom_m"])
+        grad_m = jnp.where(backward, sub.end_grad, c["grad_m"])
+        pos_p = jnp.where(backward, c["pos_p"], sub.end_pos)
+        mom_p = jnp.where(backward, c["mom_p"], sub.end_mom)
+        grad_p = jnp.where(backward, c["grad_p"], sub.end_grad)
+
+        # Across-doubling swap w.p. min(1, n'/n) (generic_nuts.rs:860-868).
+        u = jax.random.uniform(kswap, (), dtype)
+        take = sub.s & (u * c["n"].astype(dtype) < sub.n.astype(dtype))
+        prop_pos = jnp.where(take, sub.prop_pos, c["prop_pos"])
+        prop_lp = jnp.where(take, sub.prop_lp, c["prop_lp"])
+        prop_grad = jnp.where(take, sub.prop_grad, c["prop_grad"])
+
+        s = sub.s & _stop_criterion(pos_m, pos_p, mom_m, mom_p, mass, dense)
+        return dict(
+            j=c["j"] + 1,
+            key=key,
+            pos_m=pos_m,
+            mom_m=mom_m,
+            grad_m=grad_m,
+            pos_p=pos_p,
+            mom_p=mom_p,
+            grad_p=grad_p,
+            prop_pos=prop_pos,
+            prop_lp=prop_lp,
+            prop_grad=prop_grad,
+            n=c["n"] + sub.n,
+            s=s,
+            diverged=c["diverged"] | sub.diverged,
+            alpha=sub.alpha,
+            n_alpha=sub.n_alpha,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return TreeStepResult(
+        pos=out["prop_pos"],
+        lp=out["prop_lp"],
+        grad=out["prop_grad"],
+        alpha=out["alpha"],
+        n_alpha=out["n_alpha"],
+        depth=out["j"],
+        diverged=out["diverged"],
+    )

@@ -48,6 +48,12 @@ class BatchSampler:
         self._step_fn = _StepFn(self._step, self._positions)
 
     # -- subclass interface -------------------------------------------------
+    def _prepare_run(self, n_collect: int, n_discard: int) -> None:
+        """Hook called before each run; samplers with run-length-dependent
+        state (e.g. NUTS warmup schedules) rebuild it here.  Implementations
+        that change traced closure state must also refresh ``self._step_fn``
+        so the jit cache cannot serve a stale compilation."""
+
     def _init_carry(self) -> Any:
         raise NotImplementedError
 
@@ -73,6 +79,7 @@ class BatchSampler:
         """Run ``n_discard + n_collect`` steps; return collected post-step
         states as ``[n_chains, n_collect, dim]`` (ChainRunner::run,
         core.rs:219-229)."""
+        self._prepare_run(n_collect, n_discard)
         out = run_kernel(self._step_fn, self._init_carry(), n_collect, n_discard)
         self._final_carry = out.carry
         return jnp.swapaxes(out.samples, 0, 1)
@@ -81,6 +88,7 @@ class BatchSampler:
         """Like :meth:`run` but with live progress + streaming R-hat
         (ChainRunner::run_progress, core.rs:251-403).  Returns
         ``(samples, RunStats)``."""
+        self._prepare_run(n_collect, n_discard)
         carry = self._init_carry()
         dim = self._positions(carry).shape[-1]
         total = n_discard + n_collect

@@ -1,0 +1,420 @@
+"""No-U-Turn Sampler with dual-averaging step-size adaptation and
+windowed mass-matrix warmup.
+
+TPU-native rebuild of the reference's NUTS stack (nuts.rs façade +
+generic_nuts.rs core).  All chains advance together: the per-chain tree step
+(:mod:`..ops.tree`) is vmapped over the chain axis, the sampling loop is a
+fused ``lax.scan``, and adaptation state (ε, ε̄, h̄, mass matrix, Welford
+accumulators) lives in the scan carry — the entire warmup + sampling run is
+one XLA program with no host round-trips (contrast: the reference syncs to
+host once per leapfrog, nuts.rs:215-216).
+
+Adaptation semantics from the reference:
+
+- dual averaging with γ=0.05, t₀=10, κ=0.75, μ=ln(10ε) and
+  ``ε̄``-geometric averaging during warmup, ``ε = ε̄`` afterwards
+  (generic_nuts.rs:638-643, 882-895, 922-924);
+- initial ε via the doubling/halving search (golden value ε=2.0 on the
+  standard normal, nuts.rs:508-519);
+- Stan-style mass-matrix warmup windows — start buffer 75, end buffer 50,
+  initial window 25 doubling to a 400 cap, Welford running covariance,
+  shrinkage ``(1-0.05)·Σ̂ + 0.05·I``, jittered Cholesky with ×10 retry
+  escalation, dense only for dim ≤ 75 (generic_nuts.rs:43-79, 81-174,
+  948-997).  Window boundaries depend only on the step index, so the
+  schedule is precomputed host-side and streamed into the scan as boolean
+  flags — all chains share globally synchronized windows (as in Stan and,
+  in effect, the reference, whose per-chain schedules are identical).
+
+Documented deviations (all toward Stan-correctness; SURVEY.md "hard parts"):
+
+- trajectory depth is capped at ``max_tree_depth`` (default 10; the
+  reference doubles unboundedly);
+- within-subtree U-turn checks are mass-weighted (the reference uses the
+  identity metric inside subtrees, generic_nuts.rs:1316, but the mass
+  metric at the top level, :871-879);
+- the post-window ε re-search uses the adapted mass matrix (the reference
+  samples the probe momentum from the new mass but searches under the
+  identity metric, generic_nuts.rs:909-915);
+- ``ε̄`` is initialized to the found ε rather than 1, so runs with
+  ``n_discard=0`` use the reasonable step size (the init value is
+  overwritten at the first warmup step either way since κ-weight(1)=1);
+- the adapted metric follows Stan: **M⁻¹ = Σ̂** (inverse mass = sample
+  covariance), so momenta are drawn from N(0, Σ̂⁻¹) and position updates
+  scale with the target's geometry.  The reference instead sets M = Σ̂
+  (diagonal_from_var, generic_nuts.rs:197-207: momentum std = sample std,
+  velocity = p/σ̂²), which shrinks position steps exactly where the target
+  is widest — an inversion of the Stan metric that we deliberately correct.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.distributions import as_logp_fn
+from ..ops.tree import (
+    MassMatrix,
+    find_reasonable_epsilon,
+    identity_mass,
+    nuts_tree_step,
+    sample_momentum,
+)
+from ..rng import step_key
+from .base import BatchSampler, _StepFn
+
+__all__ = ["NUTS", "NUTSMassMatrixConfig"]
+
+# Dual-averaging constants (generic_nuts.rs:638-643).
+_GAMMA = 0.05
+_T0 = 10.0
+_KAPPA = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class NUTSMassMatrixConfig:
+    """Warmup mass-matrix adaptation config (generic_nuts.rs:43-79).
+
+    ``adaptation`` is one of ``"none"``, ``"diagonal"``, ``"dense"``.
+    """
+
+    adaptation: str = "diagonal"
+    start_buffer: int = 75
+    end_buffer: int = 50
+    initial_window: int = 25
+    regularize: float = 0.05
+    jitter: float = 1e-6
+    dense_max_dim: int = 75
+
+    @classmethod
+    def disabled(cls) -> "NUTSMassMatrixConfig":
+        return cls(adaptation="none", start_buffer=0, end_buffer=0,
+                   initial_window=0, regularize=0.0, jitter=0.0, dense_max_dim=0)
+
+
+def _warmup_schedule(config: NUTSMassMatrixConfig, n_warmup: int, total: int):
+    """Host-side replica of MassMatrixWarmup's should_collect /
+    note_if_window_end logic (generic_nuts.rs:141-174) over 1-based step
+    numbers m = 1..total.  Returns (collect[total], window_end[total])."""
+    collect = np.zeros(total, bool)
+    window_end = np.zeros(total, bool)
+    if config.adaptation == "none" or n_warmup == 0:
+        return collect, window_end
+    start_buffer = max(config.start_buffer, 1)
+    window_len = max(config.initial_window, 10)
+    next_window_end = start_buffer + window_len
+    for idx in range(total):
+        m = idx + 1
+        should = (
+            m <= n_warmup
+            and m > config.start_buffer
+            and m < max(n_warmup - config.end_buffer, 0)
+        )
+        collect[idx] = should
+        if should and (
+            m >= next_window_end or m + 1 >= max(n_warmup - config.end_buffer, 0)
+        ):
+            next_window_end += window_len
+            window_len = min(window_len * 2, 400)
+            window_end[idx] = True
+    return collect, window_end
+
+
+class _Welford(NamedTuple):
+    """Batched running covariance accumulator (RunningCov,
+    generic_nuts.rs:81-132)."""
+
+    count: jax.Array  # [n_chains]
+    mean: jax.Array  # [n_chains, d]
+    m2_diag: jax.Array  # [n_chains, d]
+    m2_dense: jax.Array  # [n_chains, d, d] or [n_chains, 0, 0]
+
+
+class NUTS(BatchSampler):
+    """Multi-chain No-U-Turn Sampler (nuts.rs:156-304,
+    generic_nuts.rs:361-557).
+
+    Parameters
+    ----------
+    target : callable or object with ``unnorm_logp``
+        Differentiable log density of one state, ``logp(x: [dim]) -> scalar``.
+    initial_positions : [n_chains, dim] float array
+    target_accept_p : dual-averaging acceptance target δ (default 0.8)
+    max_tree_depth : doubling cap per step (default 10)
+    step_size : optional fixed initial ε (skips the ε search)
+    mass_config : :class:`NUTSMassMatrixConfig`; default disabled, matching
+        the reference façade (generic_nuts.rs:370-377) — pass
+        ``NUTSMassMatrixConfig()`` for Stan-style diagonal adaptation.
+    """
+
+    def __init__(
+        self,
+        target,
+        initial_positions,
+        target_accept_p: float = 0.8,
+        seed=0,
+        max_tree_depth: int = 10,
+        step_size: float | None = None,
+        mass_config: NUTSMassMatrixConfig | None = None,
+    ):
+        self.target = as_logp_fn(target)
+        self.initial_positions = jnp.asarray(initial_positions)
+        if not jnp.issubdtype(self.initial_positions.dtype, jnp.floating):
+            self.initial_positions = self.initial_positions.astype(jnp.float32)
+        self.dim = self.initial_positions.shape[1]
+        self.target_accept_p = float(target_accept_p)
+        self.max_tree_depth = int(max_tree_depth)
+        self.step_size = step_size
+        cfg = mass_config if mass_config is not None else NUTSMassMatrixConfig.disabled()
+        # Dense adaptation falls back to diagonal above dense_max_dim
+        # (generic_nuts.rs:612-617).
+        if cfg.adaptation == "dense" and self.dim > cfg.dense_max_dim:
+            cfg = dataclasses.replace(cfg, adaptation="diagonal")
+        if cfg.adaptation not in ("none", "diagonal", "dense"):
+            raise ValueError(f"unknown adaptation {cfg.adaptation!r}")
+        self.mass_config = cfg
+        self._dense = cfg.adaptation == "dense"
+        self._vg = jax.value_and_grad(self.target)
+        self._n_discard = 0
+        self._collect_sched = jnp.zeros(1, bool)
+        self._window_sched = jnp.zeros(1, bool)
+        super().__init__(n_chains=self.initial_positions.shape[0], seed=seed)
+
+    # -- per-run preparation ------------------------------------------------
+    def _prepare_run(self, n_collect: int, n_discard: int) -> None:
+        self._n_discard = n_discard
+        total = n_collect + n_discard
+        collect, window_end = _warmup_schedule(self.mass_config, n_discard, total)
+        self._collect_sched = jnp.asarray(collect)
+        self._window_sched = jnp.asarray(window_end)
+        # Fresh step-fn identity → fresh jit trace for the new schedule.
+        self._step_fn = _StepFn(self._step, self._positions)
+
+    # -- carry --------------------------------------------------------------
+    def _init_carry(self):
+        x0 = self.initial_positions
+        dtype = x0.dtype
+        n, d = x0.shape
+        lp0, grad0 = jax.vmap(self._vg)(x0)
+        lp0 = lp0.astype(dtype)
+        grad0 = grad0.astype(dtype)
+        keys = self._chain_keys
+        mass = jax.vmap(lambda _: identity_mass(d, self._dense, dtype))(
+            jnp.arange(n)
+        )
+        if self.step_size is not None:
+            eps0 = jnp.full((n,), self.step_size, dtype)
+        else:
+            init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2**31 - 1))(keys)
+
+            def find_eps(k, x, m):
+                mom = sample_momentum(k, m, self._dense)
+                return find_reasonable_epsilon(self._vg, x, mom, m, self._dense)
+
+            eps0 = jax.vmap(find_eps)(init_keys, x0, mass)
+        mu = jnp.log(10.0 * eps0)
+        welford = _Welford(
+            count=jnp.zeros((n,), jnp.int32),
+            mean=jnp.zeros((n, d), dtype),
+            m2_diag=jnp.zeros((n, d), dtype),
+            m2_dense=jnp.zeros((n, d, d) if self._dense else (n, 0, 0), dtype),
+        )
+        return dict(
+            pos=x0,
+            lp=lp0,
+            grad=grad0,
+            keys=keys,
+            eps=eps0,
+            eps_bar=eps0,
+            h_bar=jnp.zeros((n,), dtype),
+            mu=mu,
+            mass=mass,
+            welford=welford,
+            n_divergent=jnp.zeros((n,), jnp.int32),
+        )
+
+    # -- transition ---------------------------------------------------------
+    def _step(self, carry, m):
+        dtype = carry["pos"].dtype
+        m1 = (m + 1).astype(dtype)  # 1-based step number
+        keys = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
+
+        tree = jax.vmap(
+            lambda k, p, lp, g, e, mass: nuts_tree_step(
+                k, p, lp, g, e, mass, self._dense, self._vg, self.max_tree_depth
+            )
+        )(keys, carry["pos"], carry["lp"], carry["grad"], carry["eps"], carry["mass"])
+
+        # Dual averaging (generic_nuts.rs:882-895).
+        eta = 1.0 / (m1 + _T0)
+        accept_stat = tree.alpha / tree.n_alpha.astype(dtype)
+        h_bar = (1.0 - eta) * carry["h_bar"] + eta * (self.target_accept_p - accept_stat)
+        warmup = m1 <= self._n_discard
+        eps_w = jnp.exp(carry["mu"] - jnp.sqrt(m1) / _GAMMA * h_bar)
+        eta2 = m1 ** (-_KAPPA)
+        eps_bar_w = jnp.exp(
+            (1.0 - eta2) * jnp.log(carry["eps_bar"]) + eta2 * jnp.log(eps_w)
+        )
+        eps = jnp.where(warmup, eps_w, carry["eps_bar"])
+        eps_bar = jnp.where(warmup, eps_bar_w, carry["eps_bar"])
+
+        new = dict(
+            pos=tree.pos,
+            lp=tree.lp,
+            grad=tree.grad,
+            keys=carry["keys"],
+            eps=eps,
+            eps_bar=eps_bar,
+            h_bar=h_bar,
+            mu=carry["mu"],
+            mass=carry["mass"],
+            welford=carry["welford"],
+            n_divergent=carry["n_divergent"]
+            + (tree.diverged & ~warmup).astype(jnp.int32),
+        )
+
+        if self.mass_config.adaptation != "none":
+            new = self._mass_adaptation(new, m)
+        return new
+
+    # -- mass-matrix warmup -------------------------------------------------
+    def _mass_adaptation(self, carry, m):
+        collect = self._collect_sched[m]
+        window_end = self._window_sched[m]
+        carry = dict(carry)
+        carry["welford"] = self._welford_update(
+            carry["welford"], carry["pos"], collect
+        )
+        return jax.lax.cond(
+            window_end, self._window_update, lambda c, _m: c, carry, m
+        )
+
+    def _welford_update(self, w: _Welford, x, collect):
+        """Masked batched Welford update (RunningCov::update,
+        generic_nuts.rs:109-131)."""
+        cnt = w.count + collect.astype(jnp.int32)
+        cntf = jnp.maximum(cnt, 1).astype(x.dtype)[:, None]
+        delta = x - w.mean
+        mean = jnp.where(collect, w.mean + delta / cntf, w.mean)
+        delta2 = x - mean
+        m2_diag = jnp.where(collect, w.m2_diag + delta * delta2, w.m2_diag)
+        if self._dense:
+            m2_dense = jnp.where(
+                collect,
+                w.m2_dense + delta[:, :, None] * delta2[:, None, :],
+                w.m2_dense,
+            )
+        else:
+            m2_dense = w.m2_dense
+        return _Welford(jnp.where(collect, cnt, w.count), mean, m2_diag, m2_dense)
+
+    def _window_update(self, carry, m):
+        """End-of-window: refresh the mass matrix from the Welford state,
+        re-find ε under the new metric, reset dual averaging and the
+        accumulator (generic_nuts.rs:897-921, 948-997)."""
+        cfg = self.mass_config
+        w: _Welford = carry["welford"]
+        dtype = carry["pos"].dtype
+        reg = jnp.asarray(cfg.regularize, dtype)
+        jitter = jnp.asarray(max(cfg.jitter, 1e-10), dtype)
+        have = w.count >= 5  # update gate (generic_nuts.rs:952-954)
+        denom = jnp.maximum(w.count - 1, 1).astype(dtype)
+
+        old_mass: MassMatrix = carry["mass"]
+        if self._dense:
+            raw = w.m2_dense / denom[:, None, None]
+            d = raw.shape[-1]
+            eye = jnp.eye(d, dtype=dtype)
+            cov = (1.0 - reg) * raw
+            diag = jnp.maximum(
+                (1.0 - reg) * jnp.diagonal(raw, axis1=1, axis2=2) + reg, jitter
+            )
+            cov = cov * (1.0 - eye) + jax.vmap(jnp.diag)(diag)
+
+            def chol_with_retries(c):
+                # Stan metric: M⁻¹ = Σ̂, momenta ~ N(0, Σ̂⁻¹).  With
+                # Σ̂ = L Lᵀ the momentum transform is scale = L⁻ᵀ
+                # (cov(L⁻ᵀ z) = Σ̂⁻¹).  Jittered Cholesky with ×10
+                # escalation, 8 tries (generic_nuts.rs:209-225).
+                def attempt(state, k):
+                    found, inv_cov, mom_scale = state
+                    j = jitter * (10.0 ** k.astype(dtype))
+                    trial = c + j * eye
+                    L = jnp.linalg.cholesky(trial)
+                    ok = jnp.all(jnp.isfinite(L))
+                    Ls = jnp.where(ok, L, eye)
+                    L_inv = jax.scipy.linalg.solve_triangular(Ls, eye, lower=True)
+                    ok = ok & jnp.all(jnp.isfinite(L_inv))
+                    take = ok & ~found
+                    return (
+                        found | ok,
+                        jnp.where(take, trial, inv_cov),
+                        jnp.where(take, L_inv.T, mom_scale),
+                    ), None
+
+                (found, inv_cov, mom_scale), _ = jax.lax.scan(
+                    attempt, (jnp.asarray(False), eye, eye), jnp.arange(8)
+                )
+                return found, inv_cov, mom_scale
+
+            found, inv_mass, mom_scale = jax.vmap(chol_with_retries)(cov)
+            use = (have & found)[:, None, None]
+            mass = MassMatrix(
+                inv=jnp.where(use, inv_mass, old_mass.inv),
+                scale=jnp.where(use, mom_scale, old_mass.scale),
+            )
+            updated = have & found
+        else:
+            raw = w.m2_diag / denom[:, None]
+            var = jnp.maximum((1.0 - reg) * raw + reg, jitter)
+            use = have[:, None]
+            # Stan metric: M⁻¹ = diag(σ̂²) → inv = σ̂², momentum std = 1/σ̂.
+            mass = MassMatrix(
+                inv=jnp.where(use, var, old_mass.inv),
+                scale=jnp.where(use, 1.0 / jnp.sqrt(var), old_mass.scale),
+            )
+            updated = have
+
+        # ε re-search under the new metric + dual-averaging reset
+        # (generic_nuts.rs:904-920).
+        probe_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 2**31 - 2)
+        )(jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m))
+
+        def find_eps(k, x, mm):
+            mom = sample_momentum(k, mm, self._dense)
+            return find_reasonable_epsilon(self._vg, x, mom, mm, self._dense)
+
+        eps_new = jax.vmap(find_eps)(probe_keys, carry["pos"], mass)
+        eps = jnp.where(updated, eps_new, carry["eps"])
+        mu = jnp.where(updated, jnp.log(10.0 * eps_new), carry["mu"])
+        eps_bar = jnp.where(updated, eps_new, carry["eps_bar"])
+        h_bar = jnp.where(updated, 0.0, carry["h_bar"])
+        w_reset = _Welford(
+            count=jnp.where(updated, 0, w.count),
+            mean=jnp.where(updated[:, None], 0.0, w.mean),
+            m2_diag=jnp.where(updated[:, None], 0.0, w.m2_diag),
+            m2_dense=jnp.where(updated[:, None, None], 0.0, w.m2_dense)
+            if self._dense
+            else w.m2_dense,
+        )
+        out = dict(carry)
+        out.update(mass=mass, eps=eps, mu=mu, eps_bar=eps_bar, h_bar=h_bar,
+                   welford=w_reset)
+        return out
+
+    def _positions(self, carry):
+        return carry["pos"]
+
+    # -- extras -------------------------------------------------------------
+    @property
+    def divergences(self):
+        """Per-chain post-warmup divergence counts from the last run."""
+        return getattr(self, "_final_carry", {}).get("n_divergent")
+
+    @property
+    def adapted_step_size(self):
+        return getattr(self, "_final_carry", {}).get("eps_bar")
