@@ -1,0 +1,3 @@
+from .collectives import pooled_rhat_sharded
+from .mesh import CHAINS_AXIS, DIM_AXIS, chain_mesh, make_mesh, shard_carry
+from .runner import run_sharded

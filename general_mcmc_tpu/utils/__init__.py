@@ -1,0 +1,2 @@
+from .progress import ProgressRenderer
+from .timer import Timer

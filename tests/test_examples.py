@@ -1,0 +1,75 @@
+"""Example smoke tests: each example's main() runs and produces its
+artifacts (the reference runs every example under #[test] fn test_main,
+e.g. gauss_mh.rs:109-126)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples"))
+
+
+@pytest.fixture(autouse=True)
+def _example_out(tmp_path, monkeypatch):
+    monkeypatch.setenv("EXAMPLE_OUT", str(tmp_path))
+    yield tmp_path
+
+
+def test_minimal_mh():
+    import minimal_mh
+
+    minimal_mh.main()
+
+
+def test_minimal_hmc():
+    import minimal_hmc
+
+    minimal_hmc.main()
+
+
+def test_minimal_nuts():
+    import minimal_nuts
+
+    # smaller than the example default to keep CI fast
+    from general_mcmc_tpu import NUTS, Rosenbrock2D, init_det
+
+    sampler = NUTS(Rosenbrock2D(1.0, 100.0), init_det(4, 2), 0.95).set_seed(42)
+    sample, _ = sampler.run_progress(50, 50, progress=False)
+    assert sample.shape == (4, 50, 2)
+
+
+def test_gauss_mh(_example_out):
+    import gauss_mh
+
+    parquet_path, plot_path = gauss_mh.main(sample_size=2000, burnin=200)
+    assert os.path.exists(parquet_path)
+    assert os.path.exists(plot_path)
+
+
+def test_rosenbrock_mh(_example_out):
+    import rosenbrock_mh
+
+    path = rosenbrock_mh.main(sample_size=2000, burnin=200)
+    assert os.path.exists(path)
+
+
+def test_rosenbrock3d_hmc(_example_out):
+    import rosenbrock3d_hmc
+
+    path = rosenbrock3d_hmc.main(n_collect=100, burnin=20)
+    assert os.path.exists(path)
+
+
+def test_mixture_gibbs(_example_out):
+    import mixture_gibbs
+
+    path = mixture_gibbs.main(n_collect=2000, burnin=200)
+    assert os.path.exists(path)
+
+
+def test_poisson_mh(_example_out):
+    import poisson_mh
+
+    path = poisson_mh.main(n_collect=2000, burnin=200)
+    assert os.path.exists(path)
