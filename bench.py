@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: NUTS on a 100-d ill-conditioned Gaussian, 10k chains.
+
+The BASELINE.json north-star workload: min-ESS/sec (and leapfrog
+grad-evals/sec) for NUTS with diagonal mass-matrix warmup on a 100-d
+Gaussian whose marginal scales span 1..10, with ≥10k vmapped chains on one
+chip.  R-hat must be < 1.01 for the number to count.
+
+The Rust reference publishes no numbers (BASELINE.md); its multi-threaded
+CPU throughput is estimated at REF_MIN_ESS_PER_SEC below (16 threads ×
+~10k NUTS steps/sec/thread on a 100-d quadratic target × ~0.3 ESS/step,
+rounded up to be conservative).  ``vs_baseline`` is measured/estimated.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_CHAINS = 10_240
+DIM = 100
+N_COLLECT = 384
+N_WARMUP = 384
+MAX_TREE_DEPTH = 8
+SEED = 0
+
+# Estimated Rust-reference multithreaded min-ESS/sec on this workload (see
+# module docstring; BASELINE.md records that the reference must be timed via
+# `cargo test --release -- --ignored`, unavailable here without a Rust
+# toolchain).
+REF_MIN_ESS_PER_SEC = 5.0e4
+
+
+def build_sampler():
+    from general_mcmc_tpu import (
+        NUTS,
+        GaussianND,
+        NUTSMassMatrixConfig,
+        init_with_seed,
+    )
+
+    scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM)).astype(jnp.float32)
+    target = GaussianND(mean=jnp.zeros(DIM, jnp.float32), cov=scales)
+    return NUTS(
+        target,
+        init_with_seed(N_CHAINS, DIM, SEED),
+        target_accept_p=0.8,
+        mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
+        max_tree_depth=MAX_TREE_DEPTH,
+        seed=SEED,
+    )
+
+
+def main():
+    from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    sampler = build_sampler()
+
+    t0 = time.perf_counter()
+    sample = sampler.run(N_COLLECT, N_WARMUP)
+    jax.block_until_ready(sample)
+    t_first = time.perf_counter() - t0
+    print(f"first run (compile + exec): {t_first:.2f}s", file=sys.stderr)
+
+    # Timed run with a warm jit cache.
+    t0 = time.perf_counter()
+    sample = sampler.run(N_COLLECT, N_WARMUP)
+    jax.block_until_ready(sample)
+    wall = time.perf_counter() - t0
+
+    leapfrogs = int(jnp.sum(sampler.leapfrog_count))
+    rhat, ess = split_rhat_mean_ess(sample)
+    rhat_max = float(jnp.max(rhat))
+    min_ess = float(jnp.min(ess))
+    min_ess_per_sec = min_ess / wall
+    grad_evals_per_sec = leapfrogs / wall
+
+    print(
+        f"wall={wall:.2f}s min_ess={min_ess:.0f} max_rhat={rhat_max:.4f} "
+        f"leapfrogs={leapfrogs} grad_evals/s={grad_evals_per_sec:.3g} "
+        f"min_ess/s={min_ess_per_sec:.3g}",
+        file=sys.stderr,
+    )
+    if rhat_max >= 1.01:
+        print(f"WARNING: R-hat {rhat_max:.3f} >= 1.01", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "min-ESS/sec, NUTS 100-d ill-conditioned Gaussian, "
+                f"{N_CHAINS} chains ({N_WARMUP} warmup + {N_COLLECT} collected), "
+                f"max R-hat {rhat_max:.4f}, {grad_evals_per_sec:.3g} grad-evals/s",
+                "value": round(min_ess_per_sec, 1),
+                "unit": "ESS/s",
+                "vs_baseline": round(min_ess_per_sec / REF_MIN_ESS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -299,9 +299,15 @@ def _geyer_tau(rho: jax.Array) -> jax.Array:
 
 def _ess(sample: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
     """ESS per parameter (stats.rs:523-573): average per-chain autocovariance,
-    normalize to rho via (W, V̂), Geyer truncation, N_eff = c·n/τ."""
+    normalize to rho via (W, V̂), Geyer truncation, N_eff = c·n/τ.
+
+    Always uses the FFT autocovariance: the reference's brute-force
+    crossover at n ≤ 100 (stats.rs:575-581) is a scalar-CPU heuristic; on
+    TPU the batched FFT is faster at every length and O(n log n) memory,
+    while the O(n²)-memory brute force cannot scale to 10k-chain batches.
+    """
     c, n, _ = sample.shape
-    avg_rho = jnp.mean(autocov(sample), axis=0)  # (n, p)
+    avg_rho = jnp.mean(autocov_fft(sample), axis=0)  # (n, p)
     rho = 1.0 - (within - avg_rho) / var
     tau = _geyer_tau(rho)
     return (c * n) / tau

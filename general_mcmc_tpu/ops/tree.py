@@ -389,6 +389,7 @@ class TreeStepResult(NamedTuple):
     n_alpha: jax.Array
     depth: jax.Array  # number of doublings performed
     diverged: jax.Array
+    leapfrogs: jax.Array  # total gradient evaluations this step
 
 
 def nuts_tree_step(
@@ -429,6 +430,7 @@ def nuts_tree_step(
         diverged=jnp.asarray(False),
         alpha=jnp.asarray(0.0, dtype),
         n_alpha=jnp.asarray(1, jnp.int32),
+        leapfrogs=jnp.asarray(0, jnp.int32),
     )
 
     def cond(c):
@@ -483,6 +485,7 @@ def nuts_tree_step(
             diverged=c["diverged"] | sub.diverged,
             alpha=sub.alpha,
             n_alpha=sub.n_alpha,
+            leapfrogs=c["leapfrogs"] + sub.n_alpha,
         )
 
     out = jax.lax.while_loop(cond, body, init)
@@ -494,4 +497,5 @@ def nuts_tree_step(
         n_alpha=out["n_alpha"],
         depth=out["j"],
         diverged=out["diverged"],
+        leapfrogs=out["leapfrogs"],
     )

@@ -234,6 +234,9 @@ class NUTS(BatchSampler):
             mass=mass,
             welford=welford,
             n_divergent=jnp.zeros((n,), jnp.int32),
+            n_leapfrog=jnp.zeros((n,), jnp.int64)
+            if jax.config.jax_enable_x64
+            else jnp.zeros((n,), jnp.int32),
         )
 
     # -- transition ---------------------------------------------------------
@@ -274,6 +277,7 @@ class NUTS(BatchSampler):
             welford=carry["welford"],
             n_divergent=carry["n_divergent"]
             + (tree.diverged & ~warmup).astype(jnp.int32),
+            n_leapfrog=carry["n_leapfrog"] + tree.leapfrogs,
         )
 
         if self.mass_config.adaptation != "none":
@@ -418,3 +422,8 @@ class NUTS(BatchSampler):
     @property
     def adapted_step_size(self):
         return getattr(self, "_final_carry", {}).get("eps_bar")
+
+    @property
+    def leapfrog_count(self):
+        """Per-chain total gradient evaluations from the last run."""
+        return getattr(self, "_final_carry", {}).get("n_leapfrog")
