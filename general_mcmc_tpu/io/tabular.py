@@ -46,7 +46,15 @@ def to_table(data):
 
 
 def save_csv(data, filename: str) -> None:
-    """Write the sample as CSV (save_csv, io/csv.rs:47-69)."""
+    """Write the sample as CSV (save_csv, io/csv.rs:47-69).
+
+    Routes through the native C++ serializer (csrc/fastio.cpp) when it can
+    be built, falling back to pyarrow's writer."""
+    from .native import native_write_csv, native_write_csv_available
+
+    if native_write_csv_available():
+        native_write_csv(_as_3d(data), filename)
+        return
     import pyarrow.csv as pacsv
 
     pacsv.write_csv(to_table(data), filename)

@@ -45,3 +45,21 @@ def test_roundtrip(tmp_path, sample, saver, suffix):
 def test_rejects_bad_shape():
     with pytest.raises(ValueError):
         to_table(np.zeros((3, 4)))
+
+
+def test_native_csv_matches_pyarrow(tmp_path, sample):
+    """The C++ serializer and the pyarrow path must produce equal values."""
+    from general_mcmc_tpu.io.native import (
+        native_write_csv,
+        native_write_csv_available,
+    )
+
+    if not native_write_csv_available():
+        pytest.skip("no C++ toolchain")
+    p_native = str(tmp_path / "native.csv")
+    native_write_csv(sample, p_native)
+    back = load_table(p_native)
+    np.testing.assert_allclose(back, sample, atol=0)  # shortest round-trip
+    with open(p_native) as f:
+        header = f.readline().strip()
+    assert header == "chain,observation,dim_0,dim_1"
