@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 N_CHAINS = 10_240
 DIM = 100
-N_COLLECT = 384
+N_COLLECT = 256
 N_WARMUP = 384
 MAX_TREE_DEPTH = 8
 SEED = 0

@@ -305,12 +305,37 @@ def _ess(sample: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
     crossover at n ≤ 100 (stats.rs:575-581) is a scalar-CPU heuristic; on
     TPU the batched FFT is faster at every length and O(n log n) memory,
     while the O(n²)-memory brute force cannot scale to 10k-chain batches.
+
+    Parameters are processed in sequential chunks (``lax.map``) sized to a
+    fixed FFT-buffer budget, so ESS over 10k chains × hundreds of params
+    stays well under HBM limits.
     """
-    c, n, _ = sample.shape
-    avg_rho = jnp.mean(autocov_fft(sample), axis=0)  # (n, p)
-    rho = 1.0 - (within - avg_rho) / var
-    tau = _geyer_tau(rho)
-    return (c * n) / tau
+    c, n, p = sample.shape
+    n_padded = 1
+    while n_padded < 2 * n - 1:
+        n_padded <<= 1
+    budget = 64 * 1024 * 1024  # complex-buffer bytes per chunk
+    chunk = int(max(1, min(p, budget // (c * n_padded * 8))))
+
+    def ess_block(args):
+        s, wi, vi = args  # s: (c, n, chunk)
+        avg_rho = jnp.mean(autocov_fft(s), axis=0)
+        rho = 1.0 - (wi - avg_rho) / vi
+        return (c * n) / _geyer_tau(rho)
+
+    if chunk >= p:
+        return ess_block((sample, within, var))
+
+    pad = (-p) % chunk
+    samp = jnp.pad(sample, ((0, 0), (0, 0), (0, pad)))
+    w = jnp.pad(within, (0, pad), constant_values=1.0)
+    v = jnp.pad(var, (0, pad), constant_values=1.0)
+    nblk = (p + pad) // chunk
+    samp = jnp.moveaxis(samp.reshape(c, n, nblk, chunk), 2, 0)
+    ess = jax.lax.map(
+        ess_block, (samp, w.reshape(nblk, chunk), v.reshape(nblk, chunk))
+    )
+    return ess.reshape(-1)[:p]
 
 
 @functools.partial(jax.jit, static_argnames=("split",))

@@ -1,0 +1,200 @@
+"""Fused Pallas TPU kernel for batched HMC sampling.
+
+The hot path the reference identifies as its performance core — the batched
+gradient/leapfrog/accept loop (batched_hmc.rs:125-190, SURVEY.md §2 row 6
+"the Pallas-kernel candidate: fuse grad+leapfrog+accept") — implemented as a
+single ``pallas_call``:
+
+- the whole sampling run is one kernel launch with a sequential grid over
+  steps; the ``[n_chains, dim]`` position batch lives in **VMEM scratch for
+  the entire run**, so per-step HBM traffic is exactly one output block
+  write (collected sample) instead of reading/writing the full phase-space
+  state every leapfrog;
+- the target's gradient is traced *inline* into the kernel with ``jax.grad``
+  — gradient, kick, drift, and the Metropolis mask all fuse into one VMEM
+  compute chain on the VPU;
+- momenta and accept draws come from the on-core hardware PRNG
+  (``pltpu.prng_random_bits`` + Box–Muller), seeded deterministically per
+  step, so no RNG state crosses the HBM boundary either.
+
+The RNG stream therefore differs from the Threefry stream of
+:class:`~..samplers.hmc.HMC` (statistically equivalent, deterministic given
+the seed); results are validated against the reference path by moment and
+ESS tests rather than bitwise equality.
+
+Burn-in handling: steps before ``n_discard`` map to output block 0, which is
+then overwritten by the first collected step — TPU grids execute
+sequentially, so the final content of every block is the intended sample.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_hmc_run"]
+
+_TWO_PI = 6.283185307179586
+
+
+def _uniform_01(shape):
+    """Uniform in (0, 1) from raw PRNG bits: 24 mantissa bits, offset to
+    avoid exact 0 (log-safe)."""
+    bits = pltpu.prng_random_bits(shape)
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+    )
+    return u24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
+
+
+def _standard_normal(shape):
+    """Box–Muller from two uniform draws."""
+    u1 = _uniform_01(shape)
+    u2 = _uniform_01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(jnp.float32(_TWO_PI) * u2)
+
+
+def _hmc_kernel(
+    x0_ref,
+    *refs,
+    closed_vg: Callable,
+    const_shapes,
+    step_size: float,
+    n_leapfrog: int,
+    n_discard: int,
+    seed: int,
+):
+    n_consts = len(const_shapes)
+    const_refs = refs[:n_consts]
+    out_ref, pos_ref, lp_ref, grad_ref = refs[n_consts:]
+    consts = [
+        r[:].reshape(shape) if shape else r[0, 0]
+        for r, shape in zip(const_refs, const_shapes)
+    ]
+
+    def vg_fn(x):
+        return closed_vg(x, *consts)
+
+    t = pl.program_id(0)
+    pltpu.prng_seed(seed + t)  # deterministic, distinct stream per step
+
+    @pl.when(t == 0)
+    def _init():
+        x = x0_ref[:]
+        lp, g = vg_fn(x)
+        pos_ref[:] = x
+        lp_ref[:] = lp
+        grad_ref[:] = g
+
+    x = pos_ref[:]
+    lp = lp_ref[:]
+    grad = grad_ref[:]
+    eps = jnp.float32(step_size)
+    half = jnp.float32(0.5) * eps
+
+    mom = _standard_normal(x.shape)
+    ke0 = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
+
+    def body(_, carry):
+        p, m, g, _lp = carry
+        m = m + g * half
+        p = p + m * eps
+        lp_new, g = vg_fn(p)
+        m = m + g * half
+        return (p, m, g, lp_new)
+
+    p_new, m_new, g_new, lp_new = jax.lax.fori_loop(
+        0, n_leapfrog, body, (x, mom, grad, lp)
+    )
+
+    ke1 = 0.5 * jnp.sum(m_new * m_new, axis=1, keepdims=True)
+    log_accept = (lp_new - lp) + (ke0[:, 0] - ke1[:, 0])
+    u = _uniform_01((x.shape[0], 1))[:, 0]
+    accept = jnp.log(u) < log_accept
+
+    x = jnp.where(accept[:, None], p_new, x)
+    lp = jnp.where(accept, lp_new, lp)
+    grad = jnp.where(accept[:, None], g_new, grad)
+
+    pos_ref[:] = x
+    lp_ref[:] = lp
+    grad_ref[:] = grad
+    out_ref[0] = x
+
+
+def fused_hmc_run(
+    logp_fn: Callable,
+    initial_positions,
+    step_size: float,
+    n_leapfrog: int,
+    n_collect: int,
+    n_discard: int = 0,
+    seed: int = 0,
+    interpret: bool = False,
+):
+    """Run batched HMC entirely inside one Pallas kernel.
+
+    ``logp_fn`` maps a single ``[dim]`` state to a scalar; it is vmapped and
+    differentiated at trace time and inlined into the kernel.  Returns
+    ``[n_chains, n_collect, dim]`` float32 samples.
+    """
+    x0 = jnp.asarray(initial_positions, jnp.float32)
+    n, d = x0.shape
+    total = n_collect + n_discard
+
+    def vg_fn(x):
+        lp, g = jax.vmap(jax.value_and_grad(logp_fn))(x)
+        return lp.astype(jnp.float32), g.astype(jnp.float32)
+
+    # Hoist the target's captured parameters (means, covariances, …) into
+    # explicit kernel inputs — Pallas kernels cannot close over array
+    # constants.  make_jaxpr surfaces every captured array as a jaxpr
+    # const; the kernel re-evaluates the jaxpr with consts rebound to the
+    # VMEM-loaded values.  Scalar/1-D consts ride as 2-D VMEM blocks.
+    closed_jaxpr = jax.make_jaxpr(vg_fn)(x0)
+    consts = list(closed_jaxpr.consts)
+    const_shapes = tuple(jnp.shape(c) for c in consts)
+    consts_2d = [jnp.atleast_2d(jnp.asarray(c)) for c in consts]
+
+    def closed_vg(x, *cs):
+        lp, g = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, list(cs), x)
+        return lp, g
+
+    kernel = functools.partial(
+        _hmc_kernel,
+        closed_vg=closed_vg,
+        const_shapes=const_shapes,
+        step_size=float(step_size),
+        n_leapfrog=int(n_leapfrog),
+        n_discard=int(n_discard),
+        seed=int(seed),
+    )
+
+    full_vmem = lambda a: pl.BlockSpec(
+        a.shape, lambda t: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(total,),
+        in_specs=[pl.BlockSpec((n, d), lambda t: (0, 0), memory_space=pltpu.VMEM)]
+        + [full_vmem(c) for c in consts_2d],
+        out_specs=pl.BlockSpec(
+            (1, n, d),
+            lambda t: (jnp.maximum(t - n_discard, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_collect, n, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n, d), jnp.float32),  # position
+            pltpu.VMEM((n,), jnp.float32),  # logp
+            pltpu.VMEM((n, d), jnp.float32),  # gradient
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x0, *consts_2d)
+    return jnp.swapaxes(out, 0, 1)

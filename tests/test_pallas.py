@@ -1,0 +1,46 @@
+"""Fused Pallas HMC kernel tests.
+
+On CPU the TPU interpreter stubs the hardware PRNG (prng_random_bits → 0),
+so only structure (shapes, burn-in block mapping, determinism of the
+degenerate stream) is checked here; statistical correctness runs on real
+TPU via tests marked `tpu` (and is exercised by bench.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from general_mcmc_tpu import DiffableGaussian2D, init_det
+from general_mcmc_tpu.ops.pallas_hmc import fused_hmc_run
+
+_ON_TPU = jax.default_backend() not in ("cpu",)
+
+
+def _target():
+    return DiffableGaussian2D(
+        mean=jnp.array([0.0, 1.0], jnp.float32),
+        cov=jnp.array([[4.0, 2.0], [2.0, 3.0]], jnp.float32),
+    )
+
+
+def test_fused_hmc_interpret_structure():
+    s = fused_hmc_run(
+        _target().unnorm_logp, init_det(8, 2), 0.2, 5, 10, 4, seed=0,
+        interpret=True,
+    )
+    assert s.shape == (8, 10, 2)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
+def test_fused_hmc_tpu_moments():
+    t = _target()
+    s = np.asarray(
+        fused_hmc_run(t.unnorm_logp, init_det(512, 2), 0.25, 10, 400, 100, seed=1)
+    )
+    flat = s.reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.3)
+    np.testing.assert_allclose(
+        np.cov(flat.T), [[4.0, 2.0], [2.0, 3.0]], atol=0.6
+    )
