@@ -227,6 +227,7 @@ def build_subtree(
     dense: bool,
     vg_fn: Callable,
     max_depth: int,
+    collect_edges: bool = False,
 ) -> SubtreeResult:
     """Build one subtree of 2^depth leapfrog leaves in direction ``v`` from
     the endpoint ``(pos, mom, grad)``.
@@ -238,14 +239,22 @@ def build_subtree(
     slots [idx_min, idx_max] — exactly the nodes of the binary tree that end
     at that leaf.  Early exit on divergence or U-turn reproduces the
     recursion's short-circuit (generic_nuts.rs:1251).
+
+    Bandwidth notes (this loop is HBM-bound at 10k-chain batches): stack
+    writes are *unconditional* dynamic-slice updates — odd leaves write to a
+    spare slot — so no full-stack select copies ever materialize; the stack
+    holds (position, velocity, position·velocity) so each U-turn check is
+    two [slots, d] matvecs against values already stored.  ``collect_edges``
+    additionally tracks the first-leaf state (golden tests / reference
+    parity only; off on the hot path).
     """
     dtype = pos.dtype
     d = pos.shape[0]
     n_leaves = jnp.asarray(1, jnp.int32) << depth
     eps_v = eps * v.astype(dtype)
+    vf = v.astype(dtype)
 
-    pos_ck = jnp.zeros((max_depth, d), dtype)
-    mom_ck = jnp.zeros((max_depth, d), dtype)
+    n_slots = max_depth + 1  # slot max_depth is the spare for odd leaves
     zerod = jnp.zeros((d,), dtype)
 
     init = dict(
@@ -253,9 +262,6 @@ def build_subtree(
         pos=pos,
         mom=mom,
         grad=grad,
-        first_pos=zerod,
-        first_mom=zerod,
-        first_grad=zerod,
         prop_pos=zerod,
         prop_lp=jnp.asarray(0.0, dtype),
         prop_grad=zerod,
@@ -264,10 +270,13 @@ def build_subtree(
         diverged=jnp.asarray(False),
         alpha=jnp.asarray(0.0, dtype),
         n_alpha=jnp.asarray(0, jnp.int32),
-        pos_ck=pos_ck,
-        mom_ck=mom_ck,
+        pos_ck=jnp.zeros((n_slots, d), dtype),
+        vel_ck=jnp.zeros((n_slots, d), dtype),
+        c1_ck=jnp.zeros((n_slots,), dtype),
         key=key,
     )
+    if collect_edges:
+        init.update(first_pos=zerod, first_mom=zerod, first_grad=zerod)
 
     def cond(c):
         return (c["i"] < n_leaves) & c["s"]
@@ -278,7 +287,8 @@ def build_subtree(
         p, m, lp, g = leapfrog_chain(
             vg_fn, c["pos"], c["mom"], c["grad"], eps_v, mass, dense
         )
-        joint = lp - kinetic_energy(mass, m, dense)
+        vel = inv_mass_mul(mass, m, dense)
+        joint = lp - 0.5 * jnp.dot(m, vel)
         leaf_valid = logu < joint
         leaf_ok = (logu - jnp.asarray(DELTA_MAX, dtype)) < joint
         alpha = c["alpha"] + jnp.minimum(
@@ -298,48 +308,33 @@ def build_subtree(
         prop_lp = jnp.where(take, lp, c["prop_lp"])
         prop_grad = jnp.where(take, g, c["prop_grad"])
 
-        first = i == 0
-        first_pos = jnp.where(first, p, c["first_pos"])
-        first_mom = jnp.where(first, m, c["first_mom"])
-        first_grad = jnp.where(first, g, c["first_grad"])
-
-        # U-turn bookkeeping over the checkpoint stack.
+        # U-turn bookkeeping: even leaves store (pos, vel, pos·vel) at slot
+        # popcount(i>>1); odd leaves "store" into the spare slot, keeping
+        # the update unconditional (in-place dynamic slice, no select copy).
         idx_max = _ckpt_idx_max(i)
         is_even = (i % 2) == 0
-        store = is_even & (idx_max < max_depth)
-        pos_ck = jnp.where(
-            store, c["pos_ck"].at[jnp.minimum(idx_max, max_depth - 1)].set(p),
-            c["pos_ck"],
-        )
-        mom_ck = jnp.where(
-            store, c["mom_ck"].at[jnp.minimum(idx_max, max_depth - 1)].set(m),
-            c["mom_ck"],
-        )
+        slot = jnp.where(is_even, idx_max, max_depth)
+        pos_ck = c["pos_ck"].at[slot].set(p)
+        vel_ck = c["vel_ck"].at[slot].set(vel)
+        c1_ck = c["c1_ck"].at[slot].set(jnp.dot(p, vel))
 
         idx_min = idx_max - _trailing_ones(i) + 1
-        slots = jnp.arange(max_depth)
+        slots = jnp.arange(n_slots)
         active = (~is_even) & (slots >= idx_min) & (slots <= idx_max)
-        # Canonical tree orientation: diff = θ⁺ - θ⁻ = v·(current - ckpt).
-        diffs = v.astype(dtype) * (p[None, :] - pos_ck)
-        if dense:
-            vel_ck = mom_ck @ mass.inv.T
-        else:
-            vel_ck = mom_ck * mass.inv[None, :]
-        vel_cur = inv_mass_mul(mass, m, dense)
-        dots_ck = jnp.sum(diffs * vel_ck, axis=1)
-        dots_cur = diffs @ vel_cur
+        # Canonical orientation diff = θ⁺ - θ⁻ = v·(current - ckpt):
+        #   diff·vel_ck  = v·(p·vel_ck[s] - c1[s])
+        #   diff·vel_cur = v·(p·vel - pos_ck[s]·vel)
+        dots_ck = vf * (vel_ck @ p - c1_ck)
+        dots_cur = vf * (jnp.dot(p, vel) - pos_ck @ vel)
         turned = active & ((dots_ck < 0.0) | (dots_cur < 0.0))
         no_turn = ~jnp.any(turned)
 
         s = leaf_ok & no_turn
-        return dict(
+        out = dict(
             i=i + 1,
             pos=p,
             mom=m,
             grad=g,
-            first_pos=first_pos,
-            first_mom=first_mom,
-            first_grad=first_grad,
             prop_pos=prop_pos,
             prop_lp=prop_lp,
             prop_grad=prop_grad,
@@ -349,18 +344,27 @@ def build_subtree(
             alpha=alpha,
             n_alpha=n_alpha,
             pos_ck=pos_ck,
-            mom_ck=mom_ck,
+            vel_ck=vel_ck,
+            c1_ck=c1_ck,
             key=key,
         )
+        if collect_edges:
+            first = i == 0
+            out.update(
+                first_pos=jnp.where(first, p, c["first_pos"]),
+                first_mom=jnp.where(first, m, c["first_mom"]),
+                first_grad=jnp.where(first, g, c["first_grad"]),
+            )
+        return out
 
     out = jax.lax.while_loop(cond, body, init)
     return SubtreeResult(
         end_pos=out["pos"],
         end_mom=out["mom"],
         end_grad=out["grad"],
-        first_pos=out["first_pos"],
-        first_mom=out["first_mom"],
-        first_grad=out["first_grad"],
+        first_pos=out.get("first_pos", zerod),
+        first_mom=out.get("first_mom", zerod),
+        first_grad=out.get("first_grad", zerod),
         prop_pos=out["prop_pos"],
         prop_lp=out["prop_lp"],
         prop_grad=out["prop_grad"],

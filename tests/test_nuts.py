@@ -63,6 +63,7 @@ def test_build_tree_golden_depth3():
         dense=False,
         vg_fn=vg,
         max_depth=10,
+        collect_edges=True,
     )
     tol = dict(rtol=1e-5, atol=1e-6)
     # Far (minus) endpoint of the backwards trajectory:
