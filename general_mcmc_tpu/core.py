@@ -75,24 +75,29 @@ def _scan_steps(step_fn, carry, start: int, n_steps: int, collect: bool):
     return carry, ys
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def _run_compiled(step_fn, carry, n_collect: int, n_discard: int):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _run_compiled(step_fn, carry, n_collect: int, n_discard: int, offset: int):
     if n_discard > 0:
-        carry, _ = _scan_steps(step_fn, carry, 0, n_discard, collect=False)
-    carry, samples = _scan_steps(step_fn, carry, n_discard, n_collect, collect=True)
+        carry, _ = _scan_steps(step_fn, carry, offset, n_discard, collect=False)
+    carry, samples = _scan_steps(
+        step_fn, carry, offset + n_discard, n_collect, collect=True
+    )
     return carry, samples
 
 
-def run_kernel(step_fn, carry, n_collect: int, n_discard: int) -> KernelRun:
+def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
+               step_offset: int = 0) -> KernelRun:
     """Advance a transition kernel ``n_discard + n_collect`` steps, collecting
     the post-step states of the last ``n_collect`` (run_chain, core.rs:95-115).
 
     ``step_fn`` must be hashable (use a module-level function or a frozen
     dataclass) with signature ``step_fn(carry, m) -> carry`` where ``m`` is the
     absolute 0-based step index, and expose ``step_fn.extract(carry)`` mapping
-    a carry to the [n_chains, dim] state snapshot to record.
+    a carry to the [n_chains, dim] state snapshot to record.  ``step_offset``
+    shifts the step indices — resumed runs use it so per-step RNG streams
+    never replay the original segment's.
     """
-    carry, samples = _run_compiled(step_fn, carry, n_collect, n_discard)
+    carry, samples = _run_compiled(step_fn, carry, n_collect, n_discard, step_offset)
     return KernelRun(carry, samples)
 
 

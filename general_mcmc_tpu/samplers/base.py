@@ -82,6 +82,37 @@ class BatchSampler:
         self._prepare_run(n_collect, n_discard)
         out = run_kernel(self._step_fn, self._init_carry(), n_collect, n_discard)
         self._final_carry = out.carry
+        self._steps_done = n_collect + n_discard
+        return jnp.swapaxes(out.samples, 0, 1)
+
+    # -- checkpoint / resume (absent in the reference: core.rs:177 TODO) ----
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the full sampler state after a run (state pytree + step
+        counter) so sampling can continue later with fresh RNG streams."""
+        from ..utils.checkpoint import save_carry
+
+        if not hasattr(self, "_final_carry"):
+            raise RuntimeError("nothing to checkpoint: call run() first")
+        save_carry(
+            {"carry": self._final_carry, "steps": jnp.asarray(self._steps_done)},
+            path,
+        )
+
+    def resume(self, path: str, n_collect: int):
+        """Continue sampling from a checkpoint: ``n_collect`` more post-step
+        states, no burn-in, step indices (and therefore per-step RNG keys)
+        continuing where the checkpointed run stopped.  Resuming is intended
+        for post-warmup continuation; adaptive samplers keep their adapted
+        state (ε̄, mass matrix) frozen, exactly as in their own post-warmup
+        phase."""
+        from ..utils.checkpoint import load_carry
+
+        state = load_carry(path)
+        carry, offset = state["carry"], int(state["steps"])
+        self._prepare_run(n_collect, 0)
+        out = run_kernel(self._step_fn, carry, n_collect, 0, step_offset=offset)
+        self._final_carry = out.carry
+        self._steps_done = offset + n_collect
         return jnp.swapaxes(out.samples, 0, 1)
 
     def run_progress(self, n_collect: int, n_discard: int = 0, progress: bool = True):

@@ -1,0 +1,74 @@
+"""Checkpoint/resume tests — the capability the reference lists as TODO
+(core.rs:177)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from general_mcmc_tpu import (
+    DiffableGaussian2D,
+    Gaussian2D,
+    IsotropicGaussian,
+    MetropolisHastings,
+    NUTS,
+    init_det,
+)
+from general_mcmc_tpu.utils.checkpoint import load_carry, save_carry
+
+
+def test_carry_roundtrip(tmp_path):
+    target = Gaussian2D(mean=jnp.zeros(2), cov=jnp.eye(2))
+    mh = MetropolisHastings(target, IsotropicGaussian(1.0), init_det(3, 2)).seed(1)
+    mh.run(10, 5)
+    path = str(tmp_path / "carry.npz")
+    save_carry(mh._final_carry, path)
+    back = load_carry(path)
+    x, lp, keys = mh._final_carry
+    bx, blp, bkeys = back
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(bx))
+    np.testing.assert_array_equal(np.asarray(lp), np.asarray(blp))
+    # keys survive the round trip functionally
+    import jax
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(keys)), np.asarray(jax.random.key_data(bkeys))
+    )
+
+
+def test_resume_equals_uninterrupted_run(tmp_path):
+    """checkpoint at step K then resume must reproduce the uninterrupted
+    run exactly (same step indices → same per-step keys)."""
+    target = Gaussian2D(mean=jnp.zeros(2), cov=jnp.eye(2))
+
+    full = MetropolisHastings(target, IsotropicGaussian(1.0), init_det(3, 2)).seed(9)
+    ref = np.asarray(full.run(40, 0))
+
+    part = MetropolisHastings(target, IsotropicGaussian(1.0), init_det(3, 2)).seed(9)
+    first = np.asarray(part.run(25, 0))
+    path = str(tmp_path / "ckpt.npz")
+    part.save_checkpoint(path)
+
+    fresh = MetropolisHastings(target, IsotropicGaussian(1.0), init_det(3, 2)).seed(9)
+    rest = np.asarray(fresh.resume(path, 15))
+
+    np.testing.assert_allclose(first, ref[:, :25], atol=1e-12)
+    np.testing.assert_allclose(rest, ref[:, 25:], atol=1e-12)
+
+
+def test_nuts_resume_continues_post_warmup(tmp_path):
+    target = DiffableGaussian2D(
+        mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+    )
+    sampler = NUTS(target, init_det(3, 2), 0.8).set_seed(4)
+    sampler.run(20, 50)
+    eps_before = np.asarray(sampler.adapted_step_size)
+    path = str(tmp_path / "nuts.npz")
+    sampler.save_checkpoint(path)
+
+    fresh = NUTS(target, init_det(3, 2), 0.8).set_seed(4)
+    more = fresh.resume(path, 30)
+    assert more.shape == (3, 30, 2)
+    assert np.isfinite(np.asarray(more)).all()
+    # adapted step size stays frozen through the resumed segment
+    np.testing.assert_allclose(
+        np.asarray(fresh.adapted_step_size), eps_before, atol=1e-7
+    )

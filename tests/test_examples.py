@@ -73,3 +73,19 @@ def test_poisson_mh(_example_out):
 
     path = poisson_mh.main(n_collect=2000, burnin=200)
     assert os.path.exists(path)
+
+
+def test_logistic_nuts():
+    import logistic_nuts
+
+    sample, beta_hat, beta_true = logistic_nuts.main(
+        n_obs=120, n_features=4, n_chains=32, n_collect=150, n_warmup=150
+    )
+    assert sample.shape == (32, 150, 6)
+    import numpy as np
+
+    # With 120 observations the posterior is wide; require only loose
+    # recovery and the right sign structure for the strong coefficients.
+    assert np.max(np.abs(beta_hat - beta_true)) < 1.5
+    strong = np.abs(beta_true) > 0.5
+    assert np.all(np.sign(beta_hat[strong]) == np.sign(beta_true[strong]))
