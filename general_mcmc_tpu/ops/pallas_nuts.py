@@ -1,0 +1,384 @@
+"""Fused Pallas TPU kernel for the NUTS tree transition.
+
+Why: the XLA `while_loop` tree implementation (:mod:`.tree`) keeps its carry
+— positions, momenta, gradients, proposal buffers, checkpoint stacks — in
+HBM, so every leapfrog iteration pays full round trips on ~10 × [chains, dim]
+arrays.  At 10k chains that is bandwidth-bound; at 1k chains it is
+latency-bound.  This kernel keeps the entire tree state **resident in VMEM**
+for a block of chains, so one NUTS transition for the block is a single
+kernel invocation whose inner loop touches HBM not at all.
+
+Control flow: instead of nested (doubling × leaf) loops, a single flat
+``while`` advances every active chain by one leapfrog per iteration; chains
+that complete their current subtree run the doubling-boundary bookkeeping
+(across-subtree swap, global U-turn test, direction resampling) in the same
+masked iteration.  Each chain therefore executes ~its own tree size in
+iterations, the block runs to the max over its chains, and blocks are
+independent grid steps — small blocks keep the masked tail short.
+
+Semantics match :func:`..ops.tree.nuts_tree_step` (slice-sampler NUTS with
+Δ_max = 1000, progressive uniform leaf sampling, min(1, n'/n) doubling swaps,
+checkpoint-stack U-turn tests — see that module for reference citations),
+with two deviations: randomness comes from the on-core hardware PRNG (a
+different — statistically equivalent — stream than Threefry), and only
+identity/diagonal mass matrices are supported (dense falls back to XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_nuts_step"]
+
+_TWO_PI = 6.283185307179586
+_DELTA_MAX = 1000.0
+
+
+def _uniform_01(shape):
+    bits = pltpu.prng_random_bits(shape)
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+    )
+    return u24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
+
+
+def _standard_normal(shape):
+    u1 = _uniform_01(shape)
+    u2 = _uniform_01(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(jnp.float32(_TWO_PI) * u2)
+
+
+def _popcount_small(x, nbits: int = 12):
+    """Portable popcount for small non-negative ints (tree indices)."""
+    total = jnp.zeros_like(x)
+    for b in range(nbits):
+        total = total + ((x >> b) & 1)
+    return total
+
+
+def _trailing_ones_small(x, nbits: int = 12):
+    ip1 = x + 1
+    mask = (ip1 & -ip1) - 1
+    return _popcount_small(mask, nbits)
+
+
+def _nuts_kernel(
+    seed_ref,
+    pos_ref,
+    lp_ref,
+    grad_ref,
+    eps_ref,
+    inv_ref,
+    scale_ref,
+    *refs,
+    closed_vg: Callable,
+    const_shapes,
+    max_depth: int,
+):
+    n_consts = len(const_shapes)
+    const_refs = refs[:n_consts]
+    (out_pos, out_lp, out_grad, out_alpha, out_nalpha, out_stats) = refs[
+        n_consts : n_consts + 6
+    ]
+    consts = [
+        r[:].reshape(shape) if shape else r[0, 0]
+        for r, shape in zip(const_refs, const_shapes)
+    ]
+
+    def vg(x):
+        lp, g = closed_vg(x, *consts)
+        return lp.reshape(x.shape[0], 1), g
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    x = pos_ref[:]
+    lp = lp_ref[:]  # [B, 1]
+    g0 = grad_ref[:]
+    eps = eps_ref[:]  # [B, 1]
+    inv = inv_ref[:]  # [B, d]
+    scale = scale_ref[:]  # [B, d]
+    B, d = x.shape
+    S = max_depth  # checkpoint slots 0..S-1 plus spare S → S+1 rows
+
+    mom0 = _standard_normal((B, d)) * scale
+    ke0 = 0.5 * jnp.sum(mom0 * (inv * mom0), axis=1, keepdims=True)
+    joint0 = lp - ke0
+    logu = joint0 + jnp.log(_uniform_01((B, 1)))  # joint0 - Exp(1)
+
+    fzero = jnp.zeros((B, 1), jnp.float32)
+    izero = jnp.zeros((B, 1), jnp.int32)
+    bfalse = jnp.zeros((B, 1), jnp.bool_)
+
+    v0 = jnp.where(_uniform_01((B, 1)) < 0.5, -1.0, 1.0)
+
+    state = dict(
+        # current-direction endpoint (the integration frontier)
+        pos_e=x, mom_e=mom0, grad_e=g0,
+        # tree edges
+        pos_m=x, mom_m=mom0, grad_m=g0,
+        pos_p=x, mom_p=mom0, grad_p=g0,
+        # outer proposal
+        prop=x, prop_lp=lp, prop_g=g0,
+        # subtree proposal
+        sprop=x, sprop_lp=lp, sprop_g=g0,
+        v=v0,
+        i=izero,  # leaf index within the current subtree
+        j=izero,  # doubling counter
+        n=jnp.ones((B, 1), jnp.float32),
+        n_sub=fzero,
+        alpha_sub=fzero,
+        nalpha_sub=izero,
+        alpha_out=fzero,
+        nalpha_out=jnp.ones((B, 1), jnp.int32),
+        diverged=bfalse,
+        leapfrogs=izero,
+        done=bfalse,
+        pos_ck=jnp.zeros((B, S + 1, d), jnp.float32),
+        vel_ck=jnp.zeros((B, S + 1, d), jnp.float32),
+        c1_ck=jnp.zeros((B, S + 1), jnp.float32),
+    )
+
+    slots_row = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 1)
+
+    def cond(c):
+        return jnp.any(~c["done"])
+
+    def body(c):
+        act = ~c["done"]
+        ev = c["v"] * eps  # [B, 1]
+
+        # --- one leapfrog on the frontier --------------------------------
+        m1 = c["mom_e"] + c["grad_e"] * (ev * 0.5)
+        p1 = c["pos_e"] + inv * m1 * ev
+        lp1, g1 = vg(p1)
+        m1 = m1 + g1 * (ev * 0.5)
+        vel1 = inv * m1
+        joint = lp1 - 0.5 * jnp.sum(m1 * vel1, axis=1, keepdims=True)
+
+        leaf_valid = (logu < joint) & act
+        leaf_ok = (logu - _DELTA_MAX) < joint
+        alpha_sub = c["alpha_sub"] + jnp.where(
+            act, jnp.minimum(1.0, jnp.exp(joint - joint0)), 0.0
+        )
+        nalpha_sub = c["nalpha_sub"] + act.astype(jnp.int32)
+        leapfrogs = c["leapfrogs"] + act.astype(jnp.int32)
+        n_sub = c["n_sub"] + leaf_valid.astype(jnp.float32)
+
+        u_take = _uniform_01((B, 1))
+        u_swap = _uniform_01((B, 1))
+        u_dir = _uniform_01((B, 1))
+
+        # progressive uniform proposal within the subtree
+        take = act & ((c["i"] == 0) | (leaf_valid & (u_take * n_sub < 1.0)))
+        sprop = jnp.where(take, p1, c["sprop"])
+        sprop_lp = jnp.where(take, lp1, c["sprop_lp"])
+        sprop_g = jnp.where(take, g1, c["sprop_g"])
+
+        # --- checkpoint stack + within-subtree U-turn --------------------
+        i = c["i"]
+        idx_max = _popcount_small(i >> 1)
+        is_even = (i % 2) == 0
+        slot = jnp.where(is_even & act, idx_max, S)  # spare slot S
+        onehot = (slots_row == slot)[:, :, None]  # [B, S+1, 1]
+        pos_ck = jnp.where(onehot, p1[:, None, :], c["pos_ck"])
+        vel_ck = jnp.where(onehot, vel1[:, None, :], c["vel_ck"])
+        c1 = jnp.sum(p1 * vel1, axis=1, keepdims=True)  # [B, 1]
+        c1_ck = jnp.where(onehot[:, :, 0], c1, c["c1_ck"])
+
+        idx_min = idx_max - _trailing_ones_small(i) + 1
+        active_slots = (
+            (~is_even) & (slots_row >= idx_min) & (slots_row <= idx_max)
+        )
+        dots_ck = c["v"] * (
+            jnp.sum(vel_ck * p1[:, None, :], axis=2) - c1_ck
+        )  # [B, S+1]
+        dots_cur = c["v"] * (
+            c1 - jnp.sum(pos_ck * vel1[:, None, :], axis=2)
+        )
+        turned = jnp.any(
+            active_slots & ((dots_ck < 0.0) | (dots_cur < 0.0)),
+            axis=1,
+            keepdims=True,
+        )
+        s_sub = leaf_ok & ~turned
+
+        # --- frontier advance & boundary detection -----------------------
+        pos_e = jnp.where(act, p1, c["pos_e"])
+        mom_e = jnp.where(act, m1, c["mom_e"])
+        grad_e = jnp.where(act, g1, c["grad_e"])
+        i_new = i + act.astype(jnp.int32)
+        subtree_len = jnp.int32(1) << c["j"]
+        at_end = act & ((i_new >= subtree_len) | ~s_sub)
+
+        minus = c["v"] < 0.0
+        upd_m = at_end & minus
+        upd_p = at_end & ~minus
+        pos_m = jnp.where(upd_m, pos_e, c["pos_m"])
+        mom_m = jnp.where(upd_m, mom_e, c["mom_m"])
+        grad_m = jnp.where(upd_m, grad_e, c["grad_m"])
+        pos_p = jnp.where(upd_p, pos_e, c["pos_p"])
+        mom_p = jnp.where(upd_p, mom_e, c["mom_p"])
+        grad_p = jnp.where(upd_p, grad_e, c["grad_p"])
+
+        # across-doubling swap w.p. min(1, n_sub / n)
+        take_outer = at_end & s_sub & (u_swap * c["n"] < n_sub)
+        prop = jnp.where(take_outer, sprop, c["prop"])
+        prop_lp = jnp.where(take_outer, sprop_lp, c["prop_lp"])
+        prop_g = jnp.where(take_outer, sprop_g, c["prop_g"])
+        n = c["n"] + jnp.where(at_end, n_sub, 0.0)
+
+        # global U-turn across the full trajectory
+        diff_dot_m = jnp.sum((pos_p - pos_m) * (inv * mom_m), axis=1, keepdims=True)
+        diff_dot_p = jnp.sum((pos_p - pos_m) * (inv * mom_p), axis=1, keepdims=True)
+        glob_ok = (diff_dot_m >= 0.0) & (diff_dot_p >= 0.0)
+        s_next = s_sub & glob_ok
+
+        alpha_out = jnp.where(at_end, alpha_sub, c["alpha_out"])
+        nalpha_out = jnp.where(at_end, nalpha_sub, c["nalpha_out"])
+        j_new = c["j"] + at_end.astype(jnp.int32)
+        done = c["done"] | (at_end & (~s_next | (j_new >= max_depth)))
+
+        # next subtree: fresh direction, frontier jumps to the chosen edge
+        cont = at_end & ~done
+        v = jnp.where(cont, jnp.where(u_dir < 0.5, -1.0, 1.0), c["v"])
+        new_minus = cont & (v < 0.0)
+        new_plus = cont & (v >= 0.0)
+        pos_e = jnp.where(new_minus, pos_m, jnp.where(new_plus, pos_p, pos_e))
+        mom_e = jnp.where(new_minus, mom_m, jnp.where(new_plus, mom_p, mom_e))
+        grad_e = jnp.where(new_minus, grad_m, jnp.where(new_plus, grad_p, grad_e))
+
+        return dict(
+            pos_e=pos_e, mom_e=mom_e, grad_e=grad_e,
+            pos_m=pos_m, mom_m=mom_m, grad_m=grad_m,
+            pos_p=pos_p, mom_p=mom_p, grad_p=grad_p,
+            prop=prop, prop_lp=prop_lp, prop_g=prop_g,
+            sprop=sprop, sprop_lp=sprop_lp, sprop_g=sprop_g,
+            v=v,
+            i=jnp.where(at_end, 0, i_new),
+            j=j_new,
+            n=n,
+            n_sub=jnp.where(at_end, 0.0, n_sub),
+            alpha_sub=jnp.where(at_end, 0.0, alpha_sub),
+            nalpha_sub=jnp.where(at_end, 0, nalpha_sub),
+            alpha_out=alpha_out,
+            nalpha_out=nalpha_out,
+            diverged=c["diverged"] | (act & ~leaf_ok),
+            leapfrogs=leapfrogs,
+            done=done,
+            pos_ck=pos_ck,
+            vel_ck=vel_ck,
+            c1_ck=c1_ck,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    out_pos[:] = final["prop"]
+    out_lp[:] = final["prop_lp"]
+    out_grad[:] = final["prop_g"]
+    out_alpha[:] = final["alpha_out"]
+    out_nalpha[:] = final["nalpha_out"]
+    out_stats[:] = jnp.concatenate(
+        [
+            final["leapfrogs"],
+            final["j"],
+            final["diverged"].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def pallas_nuts_step(
+    logp_fn: Callable,
+    pos,
+    lp,
+    grad,
+    eps,
+    mass_inv,
+    mass_scale,
+    seed,
+    max_depth: int = 10,
+    block_chains: int = 256,
+    interpret: bool = False,
+):
+    """One NUTS transition for all chains via the fused kernel.
+
+    ``pos/grad/mass_*``: [n_chains, dim]; ``lp/eps``: [n_chains]; ``seed``:
+    int32 scalar (vary per step).  Returns
+    ``(pos', lp', grad', alpha, n_alpha, leapfrogs, depth, diverged)``.
+    """
+    n, d = pos.shape
+    if n % block_chains != 0:
+        block_chains = n  # single block fallback
+    n_blocks = n // block_chains
+    B = block_chains
+
+    def vg_fn(x):
+        lpv, g = jax.vmap(jax.value_and_grad(logp_fn))(x)
+        return lpv.astype(jnp.float32), g.astype(jnp.float32)
+
+    closed_jaxpr = jax.make_jaxpr(vg_fn)(jnp.zeros((B, d), jnp.float32))
+    consts = list(closed_jaxpr.consts)
+    const_shapes = tuple(jnp.shape(c) for c in consts)
+    consts_2d = [jnp.atleast_2d(jnp.asarray(c)) for c in consts]
+
+    def closed_vg(x, *cs):
+        lpv, g = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, list(cs), x)
+        return lpv, g
+
+    kernel = functools.partial(
+        _nuts_kernel,
+        closed_vg=closed_vg,
+        const_shapes=const_shapes,
+        max_depth=int(max_depth),
+    )
+
+    blk = lambda width: pl.BlockSpec(
+        (B, width), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda b: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [blk(d), blk(1), blk(d), blk(1), blk(d), blk(d)]
+        + [full(c) for c in consts_2d],
+        out_specs=(blk(d), blk(1), blk(d), blk(1), blk(1), blk(3)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 3), jnp.int32),
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        pos.astype(jnp.float32),
+        lp.reshape(n, 1).astype(jnp.float32),
+        grad.astype(jnp.float32),
+        eps.reshape(n, 1).astype(jnp.float32),
+        mass_inv.astype(jnp.float32),
+        mass_scale.astype(jnp.float32),
+        *consts_2d,
+    )
+    new_pos, new_lp, new_grad, alpha, n_alpha, stats = outs
+    return (
+        new_pos,
+        new_lp[:, 0],
+        new_grad,
+        alpha[:, 0],
+        n_alpha[:, 0],
+        stats[:, 0],
+        stats[:, 1],
+        stats[:, 2].astype(jnp.bool_),
+    )

@@ -148,6 +148,9 @@ class NUTS(BatchSampler):
     mass_config : :class:`NUTSMassMatrixConfig`; default disabled, matching
         the reference façade (generic_nuts.rs:370-377) — pass
         ``NUTSMassMatrixConfig()`` for Stan-style diagonal adaptation.
+    backend : ``"xla"`` (vmapped while_loop tree) or ``"pallas"`` (fused
+        VMEM-resident kernel, :mod:`..ops.pallas_nuts`; TPU only,
+        identity/diagonal mass, hardware-PRNG stream).
     """
 
     def __init__(
@@ -159,6 +162,7 @@ class NUTS(BatchSampler):
         max_tree_depth: int = 10,
         step_size: float | None = None,
         mass_config: NUTSMassMatrixConfig | None = None,
+        backend: str = "xla",
     ):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
@@ -177,6 +181,11 @@ class NUTS(BatchSampler):
             raise ValueError(f"unknown adaptation {cfg.adaptation!r}")
         self.mass_config = cfg
         self._dense = cfg.adaptation == "dense"
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and self._dense:
+            raise ValueError("pallas backend supports identity/diagonal mass only")
+        self.backend = backend
         self._vg = jax.value_and_grad(self.target)
         self._n_discard = 0
         self._collect_sched = jnp.zeros(1, bool)
@@ -243,13 +252,49 @@ class NUTS(BatchSampler):
     def _step(self, carry, m):
         dtype = carry["pos"].dtype
         m1 = (m + 1).astype(dtype)  # 1-based step number
-        keys = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
 
-        tree = jax.vmap(
-            lambda k, p, lp, g, e, mass: nuts_tree_step(
-                k, p, lp, g, e, mass, self._dense, self._vg, self.max_tree_depth
+        if self.backend == "pallas":
+            from ..ops.pallas_nuts import pallas_nuts_step
+            from ..ops.tree import TreeStepResult
+
+            seed = (
+                jax.random.key_data(self._key).ravel()[-1].astype(jnp.int32)
+                + m * jnp.int32(2654435761)
             )
-        )(keys, carry["pos"], carry["lp"], carry["grad"], carry["eps"], carry["mass"])
+            (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
+                pallas_nuts_step(
+                    self.target,
+                    carry["pos"],
+                    carry["lp"],
+                    carry["grad"],
+                    carry["eps"],
+                    carry["mass"].inv,
+                    carry["mass"].scale,
+                    seed,
+                    max_depth=self.max_tree_depth,
+                )
+            )
+            tree = TreeStepResult(
+                pos=pos.astype(dtype),
+                lp=lp.astype(dtype),
+                grad=grad.astype(dtype),
+                alpha=alpha.astype(dtype),
+                n_alpha=n_alpha,
+                depth=depth,
+                diverged=diverged,
+                leapfrogs=leapfrogs,
+            )
+        else:
+            keys = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
+            tree = jax.vmap(
+                lambda k, p, lp, g, e, mass: nuts_tree_step(
+                    k, p, lp, g, e, mass, self._dense, self._vg,
+                    self.max_tree_depth,
+                )
+            )(
+                keys, carry["pos"], carry["lp"], carry["grad"], carry["eps"],
+                carry["mass"],
+            )
 
         # Dual averaging (generic_nuts.rs:882-895).
         eta = 1.0 / (m1 + _T0)

@@ -44,3 +44,42 @@ def test_fused_hmc_tpu_moments():
     np.testing.assert_allclose(
         np.cov(flat.T), [[4.0, 2.0], [2.0, 3.0]], atol=0.6
     )
+
+
+def test_pallas_nuts_interpret_structure():
+    """Fused NUTS kernel: structural check under the TPU interpreter
+    (degenerate stubbed PRNG → only shapes/termination/finiteness)."""
+    from general_mcmc_tpu.ops.pallas_nuts import pallas_nuts_step
+
+    t = _target()
+    logp = t.unnorm_logp
+    pos = init_det(8, 2).astype(jnp.float32)
+    lp, grad = jax.vmap(jax.value_and_grad(logp))(pos)
+    out = pallas_nuts_step(
+        logp,
+        pos,
+        lp.astype(jnp.float32),
+        grad.astype(jnp.float32),
+        jnp.full((8,), 0.3, jnp.float32),
+        jnp.ones((8, 2), jnp.float32),
+        jnp.ones((8, 2), jnp.float32),
+        seed=0,
+        max_depth=6,
+        interpret=True,
+    )
+    new_pos, new_lp, new_grad, alpha, n_alpha, leapfrogs, depth, diverged = out
+    assert new_pos.shape == (8, 2) and new_grad.shape == (8, 2)
+    assert np.isfinite(np.asarray(new_pos)).all()
+    assert np.all(np.asarray(n_alpha) >= 1)
+    assert np.all(np.asarray(leapfrogs) >= 1)
+    assert np.all(np.asarray(depth) >= 1)
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
+def test_pallas_nuts_tpu_moments():
+    from general_mcmc_tpu import NUTS
+
+    sampler = NUTS(_target(), init_det(512, 2), 0.8, backend="pallas").set_seed(3)
+    s = np.asarray(sampler.run(400, 200)).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(axis=0), [0.0, 1.0], atol=0.3)
+    np.testing.assert_allclose(np.cov(s.T), [[4.0, 2.0], [2.0, 3.0]], atol=0.7)
