@@ -309,23 +309,29 @@ def build_subtree(
         prop_grad = jnp.where(take, g, c["prop_grad"])
 
         # U-turn bookkeeping: even leaves store (pos, vel, pos·vel) at slot
-        # popcount(i>>1); odd leaves "store" into the spare slot, keeping
-        # the update unconditional (in-place dynamic slice, no select copy).
+        # popcount(i>>1); odd leaves "store" into the spare slot.  The write
+        # is a one-hot select rather than a per-chain dynamic_update_slice:
+        # under vmap the latter lowers to a batched scatter, which TPUs
+        # serialize; the select is pure VPU work.
         idx_max = _ckpt_idx_max(i)
         is_even = (i % 2) == 0
         slot = jnp.where(is_even, idx_max, max_depth)
-        pos_ck = c["pos_ck"].at[slot].set(p)
-        vel_ck = c["vel_ck"].at[slot].set(vel)
-        c1_ck = c["c1_ck"].at[slot].set(jnp.dot(p, vel))
+        slots = jnp.arange(n_slots)
+        onehot = (slots == slot)[:, None]
+        cur_dot = jnp.dot(p, vel)
+        pos_ck = jnp.where(onehot, p[None, :], c["pos_ck"])
+        vel_ck = jnp.where(onehot, vel[None, :], c["vel_ck"])
+        c1_ck = jnp.where(onehot[:, 0], cur_dot, c["c1_ck"])
 
         idx_min = idx_max - _trailing_ones(i) + 1
-        slots = jnp.arange(n_slots)
         active = (~is_even) & (slots >= idx_min) & (slots <= idx_max)
         # Canonical orientation diff = θ⁺ - θ⁻ = v·(current - ckpt):
         #   diff·vel_ck  = v·(p·vel_ck[s] - c1[s])
         #   diff·vel_cur = v·(p·vel - pos_ck[s]·vel)
-        dots_ck = vf * (vel_ck @ p - c1_ck)
-        dots_cur = vf * (jnp.dot(p, vel) - pos_ck @ vel)
+        # Elementwise multiply + reduce (VPU); a [slots, d] matvec would be
+        # an MXU-shaped op with disastrous padding at these sizes.
+        dots_ck = vf * (jnp.sum(vel_ck * p[None, :], axis=1) - c1_ck)
+        dots_cur = vf * (cur_dot - jnp.sum(pos_ck * vel[None, :], axis=1))
         turned = active & ((dots_ck < 0.0) | (dots_cur < 0.0))
         no_turn = ~jnp.any(turned)
 
