@@ -46,9 +46,9 @@ def _uniform_01(shape):
     """Uniform in (0, 1) from raw PRNG bits: 24 mantissa bits, offset to
     avoid exact 0 (log-safe)."""
     bits = pltpu.prng_random_bits(shape)
-    u24 = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-    )
+    # int32 route: Mosaic has no uint32->f32 cast; a logical shift keeps the
+    # top 24 bits non-negative in int32.
+    u24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), jnp.int32(8))
     return u24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
 
 
@@ -79,10 +79,13 @@ def _hmc_kernel(
     ]
 
     def vg_fn(x):
-        return closed_vg(x, *consts)
+        lp, g = closed_vg(x, *consts)
+        return lp.reshape(x.shape[0], 1), g  # keep everything 2-D for Mosaic
 
-    t = pl.program_id(0)
-    pltpu.prng_seed(seed + t)  # deterministic, distinct stream per step
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    # deterministic, distinct stream per (chain-block, step)
+    pltpu.prng_seed(seed + b * pl.num_programs(1) + t)
 
     @pl.when(t == 0)
     def _init():
@@ -114,13 +117,13 @@ def _hmc_kernel(
     )
 
     ke1 = 0.5 * jnp.sum(m_new * m_new, axis=1, keepdims=True)
-    log_accept = (lp_new - lp) + (ke0[:, 0] - ke1[:, 0])
-    u = _uniform_01((x.shape[0], 1))[:, 0]
-    accept = jnp.log(u) < log_accept
+    log_accept = (lp_new - lp) + (ke0 - ke1)  # [B, 1]
+    u = _uniform_01((x.shape[0], 1))
+    accept = jnp.log(u) < log_accept  # [B, 1]
 
-    x = jnp.where(accept[:, None], p_new, x)
+    x = jnp.where(accept, p_new, x)
     lp = jnp.where(accept, lp_new, lp)
-    grad = jnp.where(accept[:, None], g_new, grad)
+    grad = jnp.where(accept, g_new, grad)
 
     pos_ref[:] = x
     lp_ref[:] = lp
@@ -136,16 +139,24 @@ def fused_hmc_run(
     n_collect: int,
     n_discard: int = 0,
     seed: int = 0,
+    block_chains: int = 1024,
     interpret: bool = False,
 ):
     """Run batched HMC entirely inside one Pallas kernel.
 
     ``logp_fn`` maps a single ``[dim]`` state to a scalar; it is vmapped and
-    differentiated at trace time and inlined into the kernel.  Returns
+    differentiated at trace time and inlined into the kernel.  Chains are
+    tiled over VMEM-sized blocks on the outer grid axis (the step axis is
+    the inner, fastest-varying one, so each block's phase-space state stays
+    resident in scratch for its whole run).  Returns
     ``[n_chains, n_collect, dim]`` float32 samples.
     """
     x0 = jnp.asarray(initial_positions, jnp.float32)
     n, d = x0.shape
+    if n % block_chains != 0:
+        block_chains = n
+    B = block_chains
+    n_blocks = n // B
     total = n_collect + n_discard
 
     def vg_fn(x):
@@ -157,7 +168,7 @@ def fused_hmc_run(
     # constants.  make_jaxpr surfaces every captured array as a jaxpr
     # const; the kernel re-evaluates the jaxpr with consts rebound to the
     # VMEM-loaded values.  Scalar/1-D consts ride as 2-D VMEM blocks.
-    closed_jaxpr = jax.make_jaxpr(vg_fn)(x0)
+    closed_jaxpr = jax.make_jaxpr(vg_fn)(jnp.zeros((B, d), jnp.float32))
     consts = list(closed_jaxpr.consts)
     const_shapes = tuple(jnp.shape(c) for c in consts)
     consts_2d = [jnp.atleast_2d(jnp.asarray(c)) for c in consts]
@@ -177,23 +188,25 @@ def fused_hmc_run(
     )
 
     full_vmem = lambda a: pl.BlockSpec(
-        a.shape, lambda t: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
+        a.shape, lambda b, t: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
-        grid=(total,),
-        in_specs=[pl.BlockSpec((n, d), lambda t: (0, 0), memory_space=pltpu.VMEM)]
+        grid=(n_blocks, total),
+        in_specs=[
+            pl.BlockSpec((B, d), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+        ]
         + [full_vmem(c) for c in consts_2d],
         out_specs=pl.BlockSpec(
-            (1, n, d),
-            lambda t: (jnp.maximum(t - n_discard, 0), 0, 0),
+            (1, B, d),
+            lambda b, t: (jnp.maximum(t - n_discard, 0), b, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_collect, n, d), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n, d), jnp.float32),  # position
-            pltpu.VMEM((n,), jnp.float32),  # logp
-            pltpu.VMEM((n, d), jnp.float32),  # gradient
+            pltpu.VMEM((B, d), jnp.float32),  # position
+            pltpu.VMEM((B, 1), jnp.float32),  # logp
+            pltpu.VMEM((B, d), jnp.float32),  # gradient
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x0, *consts_2d)

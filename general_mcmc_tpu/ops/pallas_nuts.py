@@ -42,9 +42,9 @@ _DELTA_MAX = 1000.0
 
 def _uniform_01(shape):
     bits = pltpu.prng_random_bits(shape)
-    u24 = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-    )
+    # int32 route: Mosaic has no uint32->f32 cast; a logical shift keeps the
+    # top 24 bits non-negative in int32.
+    u24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), jnp.int32(8))
     return u24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
 
 
@@ -139,12 +139,13 @@ def _nuts_kernel(
         diverged=bfalse,
         leapfrogs=izero,
         done=bfalse,
-        pos_ck=jnp.zeros((B, S + 1, d), jnp.float32),
-        vel_ck=jnp.zeros((B, S + 1, d), jnp.float32),
-        c1_ck=jnp.zeros((B, S + 1), jnp.float32),
+        # Checkpoint stack as per-slot arrays (S static): keeps every op at
+        # a native [B, d]/[B, 1] layout — Mosaic's layout inference cannot
+        # handle [B, S] lane-broadcast comparisons.
+        pos_ck=tuple(jnp.zeros((B, d), jnp.float32) for _ in range(S)),
+        vel_ck=tuple(jnp.zeros((B, d), jnp.float32) for _ in range(S)),
+        c1_ck=tuple(fzero for _ in range(S)),
     )
-
-    slots_row = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 1)
 
     def cond(c):
         return jnp.any(~c["done"])
@@ -184,28 +185,28 @@ def _nuts_kernel(
         i = c["i"]
         idx_max = _popcount_small(i >> 1)
         is_even = (i % 2) == 0
-        slot = jnp.where(is_even & act, idx_max, S)  # spare slot S
-        onehot = (slots_row == slot)[:, :, None]  # [B, S+1, 1]
-        pos_ck = jnp.where(onehot, p1[:, None, :], c["pos_ck"])
-        vel_ck = jnp.where(onehot, vel1[:, None, :], c["vel_ck"])
-        c1 = jnp.sum(p1 * vel1, axis=1, keepdims=True)  # [B, 1]
-        c1_ck = jnp.where(onehot[:, :, 0], c1, c["c1_ck"])
-
         idx_min = idx_max - _trailing_ones_small(i) + 1
-        active_slots = (
-            (~is_even) & (slots_row >= idx_min) & (slots_row <= idx_max)
-        )
-        dots_ck = c["v"] * (
-            jnp.sum(vel_ck * p1[:, None, :], axis=2) - c1_ck
-        )  # [B, S+1]
-        dots_cur = c["v"] * (
-            c1 - jnp.sum(pos_ck * vel1[:, None, :], axis=2)
-        )
-        turned = jnp.any(
-            active_slots & ((dots_ck < 0.0) | (dots_cur < 0.0)),
-            axis=1,
-            keepdims=True,
-        )
+        c1 = jnp.sum(p1 * vel1, axis=1, keepdims=True)  # [B, 1]
+
+        pos_ck, vel_ck, c1_ck = [], [], []
+        turned = jnp.zeros((B, 1), jnp.bool_)
+        for k in range(S):
+            store_k = act & is_even & (idx_max == k)
+            pk = jnp.where(store_k, p1, c["pos_ck"][k])
+            vk = jnp.where(store_k, vel1, c["vel_ck"][k])
+            ck = jnp.where(store_k, c1, c["c1_ck"][k])
+            pos_ck.append(pk)
+            vel_ck.append(vk)
+            c1_ck.append(ck)
+            check_k = act & (~is_even) & (idx_min <= k) & (k <= idx_max)
+            dot_ck = c["v"] * (
+                jnp.sum(vk * p1, axis=1, keepdims=True) - ck
+            )
+            dot_cur = c["v"] * (
+                c1 - jnp.sum(pk * vel1, axis=1, keepdims=True)
+            )
+            turned = turned | (check_k & ((dot_ck < 0.0) | (dot_cur < 0.0)))
+        pos_ck, vel_ck, c1_ck = tuple(pos_ck), tuple(vel_ck), tuple(c1_ck)
         s_sub = leaf_ok & ~turned
 
         # --- frontier advance & boundary detection -----------------------

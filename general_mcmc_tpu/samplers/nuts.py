@@ -257,9 +257,11 @@ class NUTS(BatchSampler):
             from ..ops.pallas_nuts import pallas_nuts_step
             from ..ops.tree import TreeStepResult
 
+            # Distinct hardware-PRNG seed per step (golden-ratio stride,
+            # wrapped into int32 range).
             seed = (
                 jax.random.key_data(self._key).ravel()[-1].astype(jnp.int32)
-                + m * jnp.int32(2654435761)
+                + m.astype(jnp.int32) * jnp.int32(-1640531535)
             )
             (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
                 pallas_nuts_step(
