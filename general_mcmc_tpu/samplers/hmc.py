@@ -68,15 +68,39 @@ class HMC(BatchSampler):
     n_leapfrog : leapfrog steps per proposal L
     """
 
-    def __init__(self, target, initial_positions, step_size, n_leapfrog, seed=0):
+    def __init__(self, target, initial_positions, step_size, n_leapfrog, seed=0,
+                 backend: str = "xla"):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
         if not jnp.issubdtype(self.initial_positions.dtype, jnp.floating):
             self.initial_positions = self.initial_positions.astype(jnp.float32)
         self.step_size = step_size
         self.n_leapfrog = int(n_leapfrog)
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self._vgrad = jax.vmap(jax.value_and_grad(self.target))
         super().__init__(n_chains=self.initial_positions.shape[0], seed=seed)
+
+    def run(self, n_collect: int, n_discard: int = 0):
+        if self.backend == "pallas":
+            # Whole run in one fused kernel (ops/pallas_hmc.py): the batch
+            # stays VMEM-resident, one HBM write per collected step.
+            from ..ops.pallas_hmc import fused_hmc_run
+
+            seed = int(jax.random.key_data(self._key).ravel()[-1]) & 0x7FFFFFFF
+            samples = fused_hmc_run(
+                self.target,
+                self.initial_positions,
+                self.step_size,
+                self.n_leapfrog,
+                n_collect,
+                n_discard,
+                seed=seed,
+            )
+            self._steps_done = n_collect + n_discard
+            return samples
+        return super().run(n_collect, n_discard)
 
     def _init_carry(self):
         x0 = self.initial_positions

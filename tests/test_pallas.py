@@ -83,3 +83,27 @@ def test_pallas_nuts_tpu_moments():
     s = np.asarray(sampler.run(400, 200)).reshape(-1, 2)
     np.testing.assert_allclose(s.mean(axis=0), [0.0, 1.0], atol=0.3)
     np.testing.assert_allclose(np.cov(s.T), [[4.0, 2.0], [2.0, 3.0]], atol=0.7)
+
+
+def test_hmc_pallas_backend_interpret():
+    from general_mcmc_tpu import HMC, GaussianND
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.array([1.0, 2.0], jnp.float32))
+    # interpret mode only validates plumbing on CPU (stubbed PRNG)
+    from general_mcmc_tpu.ops import pallas_hmc
+
+    s = pallas_hmc.fused_hmc_run(
+        t.unnorm_logp, init_det(8, 2), 0.2, 3, 6, 2, seed=0, interpret=True
+    )
+    assert s.shape == (8, 6, 2)
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
+def test_hmc_pallas_backend_tpu():
+    from general_mcmc_tpu import HMC, GaussianND
+
+    t = GaussianND(mean=jnp.zeros(4, jnp.float32), cov=jnp.array([1.0, 2.0, 0.5, 3.0], jnp.float32))
+    sampler = HMC(t, init_det(256, 4), 0.3, 10, backend="pallas").set_seed(2)
+    s = np.asarray(sampler.run(500, 100)).reshape(-1, 4)
+    np.testing.assert_allclose(s.mean(axis=0), np.zeros(4), atol=0.3)
+    np.testing.assert_allclose(s.std(axis=0), [1.0, 2.0, 0.5, 3.0], rtol=0.25)
