@@ -22,6 +22,17 @@ checkpoint-stack U-turn tests — see that module for reference citations),
 with two deviations: randomness comes from the on-core hardware PRNG (a
 different — statistically equivalent — stream than Threefry), and only
 identity/diagonal mass matrices are supported (dense falls back to XLA).
+
+STATUS: **experimental** — validated under the Pallas TPU interpreter; on
+current hardware jaxlib the Mosaic backend rejects the full kernel with
+"Not implemented: Lane broadcast" even though every constituent pattern
+compiles in isolation (verified: leapfrog+autodiff-vg inside scf.while,
+bool-free int32 flag carries, per-slot checkpoint selects, PRNG draws in
+the loop body, (B,1) grid blocks, vector-by-vector shifts, arithmetic
+masking with pltpu.repeat).  The fused-HMC kernel (pallas_hmc.py), which
+shares the leapfrog/vg/PRNG machinery, compiles and runs at 1.3e7
+grad-evals/s — the remaining gap is Mosaic legalization of this kernel's
+boundary-bookkeeping section, tracked for the next jaxlib bump.
 """
 
 from __future__ import annotations
@@ -83,9 +94,8 @@ def _nuts_kernel(
 ):
     n_consts = len(const_shapes)
     const_refs = refs[:n_consts]
-    (out_pos, out_lp, out_grad, out_alpha, out_nalpha, out_stats) = refs[
-        n_consts : n_consts + 6
-    ]
+    (out_pos, out_lp, out_grad, out_alpha, out_nalpha, out_lf, out_depth,
+     out_div) = refs[n_consts : n_consts + 8]
     consts = [
         r[:].reshape(shape) if shape else r[0, 0]
         for r, shape in zip(const_refs, const_shapes)
@@ -113,7 +123,6 @@ def _nuts_kernel(
 
     fzero = jnp.zeros((B, 1), jnp.float32)
     izero = jnp.zeros((B, 1), jnp.int32)
-    bfalse = jnp.zeros((B, 1), jnp.bool_)
 
     v0 = jnp.where(_uniform_01((B, 1)) < 0.5, -1.0, 1.0)
 
@@ -136,9 +145,12 @@ def _nuts_kernel(
         nalpha_sub=izero,
         alpha_out=fzero,
         nalpha_out=jnp.ones((B, 1), jnp.int32),
-        diverged=bfalse,
+        # bool while-carries fail Mosaic legalization (scf.yield): flags
+        # ride as int32 and convert to bool at use.
+        diverged=izero,
         leapfrogs=izero,
-        done=bfalse,
+        done=izero,
+        sublen=jnp.ones((B, 1), jnp.int32),  # 2^j, maintained by doubling
         # Checkpoint stack as per-slot arrays (S static): keeps every op at
         # a native [B, d]/[B, 1] layout — Mosaic's layout inference cannot
         # handle [B, S] lane-broadcast comparisons.
@@ -148,24 +160,38 @@ def _nuts_kernel(
     )
 
     def cond(c):
-        return jnp.any(~c["done"])
+        return jnp.sum(1 - c["done"]) > 0
 
     def body(c):
-        act = ~c["done"]
+        act = c["done"] == 0
         ev = c["v"] * eps  # [B, 1]
+        # Mosaic implements lane-broadcast for selects but not arithmetic:
+        # [B,1] operands of elementwise math must be repeated explicitly.
+        ev_d = pltpu.repeat(ev, d, axis=1)  # [B, d]
+
+        def seld(mask, a, b):
+            # masked [B,d] select via arithmetic blend (mask is [B,1])
+            m = pltpu.repeat(mask.astype(jnp.float32), d, axis=1)
+            return b + (a - b) * m
 
         # --- one leapfrog on the frontier --------------------------------
-        m1 = c["mom_e"] + c["grad_e"] * (ev * 0.5)
-        p1 = c["pos_e"] + inv * m1 * ev
+        m1 = c["mom_e"] + c["grad_e"] * (ev_d * 0.5)
+        p1 = c["pos_e"] + inv * m1 * ev_d
         lp1, g1 = vg(p1)
-        m1 = m1 + g1 * (ev * 0.5)
+        m1 = m1 + g1 * (ev_d * 0.5)
         vel1 = inv * m1
         joint = lp1 - 0.5 * jnp.sum(m1 * vel1, axis=1, keepdims=True)
 
         leaf_valid = (logu < joint) & act
         leaf_ok = (logu - _DELTA_MAX) < joint
-        alpha_sub = c["alpha_sub"] + jnp.where(
-            act, jnp.minimum(1.0, jnp.exp(joint - joint0)), 0.0
+        # scalar-leaf jnp.where inside the while body trips Mosaic's
+        # lane-broadcast legalization; mask arithmetically instead.
+        actf = act.astype(jnp.float32)
+        # min(1, e^x) = e^{min(0, x)}; min(0, x) = x·1[x<0] avoids the
+        # scalar-splat minimum op.
+        dj = joint - joint0
+        alpha_sub = c["alpha_sub"] + actf * jnp.exp(
+            dj * (dj < 0.0).astype(jnp.float32)
         )
         nalpha_sub = c["nalpha_sub"] + act.astype(jnp.int32)
         leapfrogs = c["leapfrogs"] + act.astype(jnp.int32)
@@ -177,9 +203,9 @@ def _nuts_kernel(
 
         # progressive uniform proposal within the subtree
         take = act & ((c["i"] == 0) | (leaf_valid & (u_take * n_sub < 1.0)))
-        sprop = jnp.where(take, p1, c["sprop"])
+        sprop = seld(take, p1, c["sprop"])
         sprop_lp = jnp.where(take, lp1, c["sprop_lp"])
-        sprop_g = jnp.where(take, g1, c["sprop_g"])
+        sprop_g = seld(take, g1, c["sprop_g"])
 
         # --- checkpoint stack + within-subtree U-turn --------------------
         i = c["i"]
@@ -192,8 +218,8 @@ def _nuts_kernel(
         turned = jnp.zeros((B, 1), jnp.bool_)
         for k in range(S):
             store_k = act & is_even & (idx_max == k)
-            pk = jnp.where(store_k, p1, c["pos_ck"][k])
-            vk = jnp.where(store_k, vel1, c["vel_ck"][k])
+            pk = seld(store_k, p1, c["pos_ck"][k])
+            vk = seld(store_k, vel1, c["vel_ck"][k])
             ck = jnp.where(store_k, c1, c["c1_ck"][k])
             pos_ck.append(pk)
             vel_ck.append(vk)
@@ -209,30 +235,35 @@ def _nuts_kernel(
         pos_ck, vel_ck, c1_ck = tuple(pos_ck), tuple(vel_ck), tuple(c1_ck)
         s_sub = leaf_ok & ~turned
 
+
         # --- frontier advance & boundary detection -----------------------
-        pos_e = jnp.where(act, p1, c["pos_e"])
-        mom_e = jnp.where(act, m1, c["mom_e"])
-        grad_e = jnp.where(act, g1, c["grad_e"])
+        pos_e = seld(act, p1, c["pos_e"])
+        mom_e = seld(act, m1, c["mom_e"])
+        grad_e = seld(act, g1, c["grad_e"])
         i_new = i + act.astype(jnp.int32)
-        subtree_len = jnp.int32(1) << c["j"]
-        at_end = act & ((i_new >= subtree_len) | ~s_sub)
+        # subtree length 2^j carried and doubled at boundaries (vector
+        # shifts trip Mosaic)
+        at_end = act & ((i_new >= c["sublen"]) | ~s_sub)
 
         minus = c["v"] < 0.0
         upd_m = at_end & minus
         upd_p = at_end & ~minus
-        pos_m = jnp.where(upd_m, pos_e, c["pos_m"])
-        mom_m = jnp.where(upd_m, mom_e, c["mom_m"])
-        grad_m = jnp.where(upd_m, grad_e, c["grad_m"])
-        pos_p = jnp.where(upd_p, pos_e, c["pos_p"])
-        mom_p = jnp.where(upd_p, mom_e, c["mom_p"])
-        grad_p = jnp.where(upd_p, grad_e, c["grad_p"])
+        pos_m = seld(upd_m, pos_e, c["pos_m"])
+        mom_m = seld(upd_m, mom_e, c["mom_m"])
+        grad_m = seld(upd_m, grad_e, c["grad_m"])
+        pos_p = seld(upd_p, pos_e, c["pos_p"])
+        mom_p = seld(upd_p, mom_e, c["mom_p"])
+        grad_p = seld(upd_p, grad_e, c["grad_p"])
 
         # across-doubling swap w.p. min(1, n_sub / n)
         take_outer = at_end & s_sub & (u_swap * c["n"] < n_sub)
-        prop = jnp.where(take_outer, sprop, c["prop"])
+        prop = seld(take_outer, sprop, c["prop"])
         prop_lp = jnp.where(take_outer, sprop_lp, c["prop_lp"])
-        prop_g = jnp.where(take_outer, sprop_g, c["prop_g"])
-        n = c["n"] + jnp.where(at_end, n_sub, 0.0)
+        prop_g = seld(take_outer, sprop_g, c["prop_g"])
+        at_end_f = at_end.astype(jnp.float32)
+        at_end_i = at_end.astype(jnp.int32)
+        n = c["n"] + at_end_f * n_sub
+
 
         # global U-turn across the full trajectory
         diff_dot_m = jnp.sum((pos_p - pos_m) * (inv * mom_m), axis=1, keepdims=True)
@@ -243,16 +274,19 @@ def _nuts_kernel(
         alpha_out = jnp.where(at_end, alpha_sub, c["alpha_out"])
         nalpha_out = jnp.where(at_end, nalpha_sub, c["nalpha_out"])
         j_new = c["j"] + at_end.astype(jnp.int32)
-        done = c["done"] | (at_end & (~s_next | (j_new >= max_depth)))
+        done_b = (c["done"] == 1) | (at_end & (~s_next | (j_new >= max_depth)))
+
 
         # next subtree: fresh direction, frontier jumps to the chosen edge
-        cont = at_end & ~done
-        v = jnp.where(cont, jnp.where(u_dir < 0.5, -1.0, 1.0), c["v"])
+        cont = at_end & ~done_b
+        new_v = 1.0 - 2.0 * (u_dir < 0.5).astype(jnp.float32)
+        contf = cont.astype(jnp.float32)
+        v = c["v"] + contf * (new_v - c["v"])
         new_minus = cont & (v < 0.0)
         new_plus = cont & (v >= 0.0)
-        pos_e = jnp.where(new_minus, pos_m, jnp.where(new_plus, pos_p, pos_e))
-        mom_e = jnp.where(new_minus, mom_m, jnp.where(new_plus, mom_p, mom_e))
-        grad_e = jnp.where(new_minus, grad_m, jnp.where(new_plus, grad_p, grad_e))
+        pos_e = seld(new_minus, pos_m, seld(new_plus, pos_p, pos_e))
+        mom_e = seld(new_minus, mom_m, seld(new_plus, mom_p, mom_e))
+        grad_e = seld(new_minus, grad_m, seld(new_plus, grad_p, grad_e))
 
         return dict(
             pos_e=pos_e, mom_e=mom_e, grad_e=grad_e,
@@ -261,17 +295,20 @@ def _nuts_kernel(
             prop=prop, prop_lp=prop_lp, prop_g=prop_g,
             sprop=sprop, sprop_lp=sprop_lp, sprop_g=sprop_g,
             v=v,
-            i=jnp.where(at_end, 0, i_new),
+            i=i_new * (1 - at_end_i),
             j=j_new,
             n=n,
-            n_sub=jnp.where(at_end, 0.0, n_sub),
-            alpha_sub=jnp.where(at_end, 0.0, alpha_sub),
-            nalpha_sub=jnp.where(at_end, 0, nalpha_sub),
+            n_sub=n_sub * (1.0 - at_end_f),
+            alpha_sub=alpha_sub * (1.0 - at_end_f),
+            nalpha_sub=nalpha_sub * (1 - at_end_i),
             alpha_out=alpha_out,
             nalpha_out=nalpha_out,
-            diverged=c["diverged"] | (act & ~leaf_ok),
+            diverged=jnp.maximum(
+                c["diverged"], (act & ~leaf_ok).astype(jnp.int32)
+            ),
             leapfrogs=leapfrogs,
-            done=done,
+            done=done_b.astype(jnp.int32),
+            sublen=c["sublen"] * (1 + at_end_i),
             pos_ck=pos_ck,
             vel_ck=vel_ck,
             c1_ck=c1_ck,
@@ -284,14 +321,9 @@ def _nuts_kernel(
     out_grad[:] = final["prop_g"]
     out_alpha[:] = final["alpha_out"]
     out_nalpha[:] = final["nalpha_out"]
-    out_stats[:] = jnp.concatenate(
-        [
-            final["leapfrogs"],
-            final["j"],
-            final["diverged"].astype(jnp.int32),
-        ],
-        axis=1,
-    )
+    out_lf[:] = final["leapfrogs"]
+    out_depth[:] = final["j"]
+    out_div[:] = final["diverged"]
 
 
 def pallas_nuts_step(
@@ -352,14 +384,17 @@ def pallas_nuts_step(
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [blk(d), blk(1), blk(d), blk(1), blk(d), blk(d)]
         + [full(c) for c in consts_2d],
-        out_specs=(blk(d), blk(1), blk(d), blk(1), blk(1), blk(3)),
+        out_specs=(blk(d), blk(1), blk(d), blk(1), blk(1), blk(1), blk(1),
+                   blk(1)),
         out_shape=(
             jax.ShapeDtypeStruct((n, d), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, d), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, 3), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
@@ -372,14 +407,14 @@ def pallas_nuts_step(
         mass_scale.astype(jnp.float32),
         *consts_2d,
     )
-    new_pos, new_lp, new_grad, alpha, n_alpha, stats = outs
+    new_pos, new_lp, new_grad, alpha, n_alpha, lf, depth, div = outs
     return (
         new_pos,
         new_lp[:, 0],
         new_grad,
         alpha[:, 0],
         n_alpha[:, 0],
-        stats[:, 0],
-        stats[:, 1],
-        stats[:, 2].astype(jnp.bool_),
+        lf[:, 0],
+        depth[:, 0],
+        div[:, 0].astype(jnp.bool_),
     )

@@ -185,6 +185,9 @@ class NUTS(BatchSampler):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and self._dense:
             raise ValueError("pallas backend supports identity/diagonal mass only")
+        # The fused NUTS kernel is experimental: it passes under the Pallas
+        # interpreter but current hardware Mosaic rejects it (see
+        # ops/pallas_nuts.py docstring).  HMC's fused kernel is production.
         self.backend = backend
         self._vg = jax.value_and_grad(self.target)
         self._n_discard = 0
