@@ -253,8 +253,12 @@ def build_subtree(
     n_leaves = jnp.asarray(1, jnp.int32) << depth
     eps_v = eps * v.astype(dtype)
     vf = v.astype(dtype)
+    delta_max = jnp.asarray(DELTA_MAX, dtype)
+    one = jnp.asarray(1.0, dtype)
 
-    n_slots = max_depth + 1  # slot max_depth is the spare for odd leaves
+    # One checkpoint slot per level; stores happen exactly once per
+    # iteration (leaf pair), so no spare slot is needed.
+    n_slots = max_depth
     zerod = jnp.zeros((d,), dtype)
 
     init = dict(
@@ -282,71 +286,93 @@ def build_subtree(
         return (c["i"] < n_leaves) & c["s"]
 
     def body(c):
-        i = c["i"]
-        key, k_swap = jax.random.split(c["key"])
-        p, m, lp, g = leapfrog_chain(
+        """Process one even/odd leaf pair per iteration.
+
+        Leaves are evaluated in travel order exactly as in the one-leaf
+        formulation, but the checkpoint store (even leaf) and the U-turn
+        check (odd leaf) each happen once per iteration instead of being
+        masked per leaf — halving the stack traffic per leapfrog.  The odd
+        leaf's contributions are masked out when the even leaf diverged or
+        the subtree has a single leaf (depth 0).
+        """
+        i = c["i"]  # even
+        key, k_a, k_b = jax.random.split(c["key"], 3)
+
+        # --- leaf A (even): leapfrog + slice accounting + ckpt store -----
+        pA, mA, lpA, gA = leapfrog_chain(
             vg_fn, c["pos"], c["mom"], c["grad"], eps_v, mass, dense
         )
-        vel = inv_mass_mul(mass, m, dense)
-        joint = lp - 0.5 * jnp.dot(m, vel)
-        leaf_valid = logu < joint
-        leaf_ok = (logu - jnp.asarray(DELTA_MAX, dtype)) < joint
-        alpha = c["alpha"] + jnp.minimum(
-            jnp.asarray(1.0, dtype), jnp.exp(joint - joint0)
-        )
-        n_alpha = c["n_alpha"] + 1
+        velA = inv_mass_mul(mass, mA, dense)
+        jointA = lpA - 0.5 * jnp.dot(mA, velA)
+        validA = logu < jointA
+        okA = (logu - delta_max) < jointA
 
-        # Progressive uniform proposal over valid leaves; the first leaf
-        # seeds the proposal unconditionally (base case,
-        # generic_nuts.rs:1185-1222).
-        n_new = c["n"] + leaf_valid.astype(jnp.int32)
-        u = jax.random.uniform(k_swap, (), dtype)
-        take = (i == 0) | (
-            leaf_valid & (u * n_new.astype(dtype) < jnp.asarray(1.0, dtype))
-        )
-        prop_pos = jnp.where(take, p, c["prop_pos"])
-        prop_lp = jnp.where(take, lp, c["prop_lp"])
-        prop_grad = jnp.where(take, g, c["prop_grad"])
+        nA = c["n"] + validA.astype(jnp.int32)
+        uA = jax.random.uniform(k_a, (), dtype)
+        takeA = (i == 0) | (validA & (uA * nA.astype(dtype) < one))
+        prop_pos = jnp.where(takeA, pA, c["prop_pos"])
+        prop_lp = jnp.where(takeA, lpA, c["prop_lp"])
+        prop_grad = jnp.where(takeA, gA, c["prop_grad"])
 
-        # U-turn bookkeeping: even leaves store (pos, vel, pos·vel) at slot
-        # popcount(i>>1); odd leaves "store" into the spare slot.  The write
-        # is a one-hot select rather than a per-chain dynamic_update_slice:
-        # under vmap the latter lowers to a batched scatter, which TPUs
-        # serialize; the select is pure VPU work.
-        idx_max = _ckpt_idx_max(i)
-        is_even = (i % 2) == 0
-        slot = jnp.where(is_even, idx_max, max_depth)
+        slot = _ckpt_idx_max(i)  # popcount(i >> 1)
         slots = jnp.arange(n_slots)
         onehot = (slots == slot)[:, None]
-        cur_dot = jnp.dot(p, vel)
-        pos_ck = jnp.where(onehot, p[None, :], c["pos_ck"])
-        vel_ck = jnp.where(onehot, vel[None, :], c["vel_ck"])
-        c1_ck = jnp.where(onehot[:, 0], cur_dot, c["c1_ck"])
+        dotA = jnp.dot(pA, velA)
+        pos_ck = jnp.where(onehot, pA[None, :], c["pos_ck"])
+        vel_ck = jnp.where(onehot, velA[None, :], c["vel_ck"])
+        c1_ck = jnp.where(onehot[:, 0], dotA, c["c1_ck"])
 
-        idx_min = idx_max - _trailing_ones(i) + 1
-        active = (~is_even) & (slots >= idx_min) & (slots <= idx_max)
-        # Canonical orientation diff = θ⁺ - θ⁻ = v·(current - ckpt):
-        #   diff·vel_ck  = v·(p·vel_ck[s] - c1[s])
-        #   diff·vel_cur = v·(p·vel - pos_ck[s]·vel)
-        # Elementwise multiply + reduce (VPU); a [slots, d] matvec would be
-        # an MXU-shaped op with disastrous padding at these sizes.
-        dots_ck = vf * (jnp.sum(vel_ck * p[None, :], axis=1) - c1_ck)
-        dots_cur = vf * (cur_dot - jnp.sum(pos_ck * vel[None, :], axis=1))
-        turned = active & ((dots_ck < 0.0) | (dots_cur < 0.0))
-        no_turn = ~jnp.any(turned)
+        # --- leaf B (odd): leapfrog + slice accounting + U-turn check ---
+        has_b = i + 1 < n_leaves
+        do_b = okA & has_b
+        pB, mB, lpB, gB = leapfrog_chain(vg_fn, pA, mA, gA, eps_v, mass, dense)
+        velB = inv_mass_mul(mass, mB, dense)
+        jointB = lpB - 0.5 * jnp.dot(mB, velB)
+        validB = (logu < jointB) & do_b
+        okB = (logu - delta_max) < jointB
 
-        s = leaf_ok & no_turn
+        nB = nA + validB.astype(jnp.int32)
+        uB = jax.random.uniform(k_b, (), dtype)
+        takeB = validB & (uB * nB.astype(dtype) < one)
+        prop_pos = jnp.where(takeB, pB, prop_pos)
+        prop_lp = jnp.where(takeB, lpB, prop_lp)
+        prop_grad = jnp.where(takeB, gB, prop_grad)
+
+        alpha = c["alpha"] + jnp.minimum(one, jnp.exp(jointA - joint0))
+        alpha = alpha + jnp.where(
+            do_b, jnp.minimum(one, jnp.exp(jointB - joint0)), 0.0
+        )
+        n_alpha = c["n_alpha"] + 1 + do_b.astype(jnp.int32)
+
+        # U-turn nodes ending at odd leaf i+1: slots [idx_min, idx_max]
+        # with idx_max = popcount((i+1) >> 1) = popcount(i >> 1) = slot,
+        # so the check always includes the just-stored leaf A.
+        idx_min = slot - _trailing_ones(i + 1) + 1
+        active = (slots >= idx_min) & (slots <= slot)
+        dotB = jnp.dot(pB, velB)
+        dots_ck = vf * (jnp.sum(vel_ck * pB[None, :], axis=1) - c1_ck)
+        dots_cur = vf * (dotB - jnp.sum(pos_ck * velB[None, :], axis=1))
+        turned = jnp.any(active & ((dots_ck < 0.0) | (dots_cur < 0.0)))
+        okB2 = okB & ~turned
+
+        # pair outcome: endpoint is B when evaluated, else A
+        end_pos = jnp.where(do_b, pB, pA)
+        end_mom = jnp.where(do_b, mB, mA)
+        end_grad = jnp.where(do_b, gB, gA)
+        s = okA & (~has_b | okB2)
+        diverged = c["diverged"] | ~okA | (do_b & ~okB)
+
         out = dict(
-            i=i + 1,
-            pos=p,
-            mom=m,
-            grad=g,
+            i=i + 2,
+            pos=end_pos,
+            mom=end_mom,
+            grad=end_grad,
             prop_pos=prop_pos,
             prop_lp=prop_lp,
             prop_grad=prop_grad,
-            n=n_new,
+            n=nB,
             s=s,
-            diverged=c["diverged"] | ~leaf_ok,
+            diverged=diverged,
             alpha=alpha,
             n_alpha=n_alpha,
             pos_ck=pos_ck,
@@ -357,9 +383,9 @@ def build_subtree(
         if collect_edges:
             first = i == 0
             out.update(
-                first_pos=jnp.where(first, p, c["first_pos"]),
-                first_mom=jnp.where(first, m, c["first_mom"]),
-                first_grad=jnp.where(first, g, c["first_grad"]),
+                first_pos=jnp.where(first, pA, c["first_pos"]),
+                first_mom=jnp.where(first, mA, c["first_mom"]),
+                first_grad=jnp.where(first, gA, c["first_grad"]),
             )
         return out
 
