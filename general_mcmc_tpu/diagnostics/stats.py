@@ -305,47 +305,59 @@ def _ess(sample: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
     crossover at n ≤ 100 (stats.rs:575-581) is a scalar-CPU heuristic; on
     TPU the batched FFT is faster at every length and O(n log n) memory,
     while the O(n²)-memory brute force cannot scale to 10k-chain batches.
-
-    Parameters are processed in sequential chunks (``lax.map``) sized to a
-    fixed FFT-buffer budget, so ESS over 10k chains × hundreds of params
-    stays well under HBM limits.
     """
-    c, n, p = sample.shape
+    c, n, _ = sample.shape
+    avg_rho = jnp.mean(autocov_fft(sample), axis=0)
+    rho = 1.0 - (within - avg_rho) / var
+    return (c * n) / _geyer_tau(rho)
+
+
+def _ess_budget_chunk(c: int, n: int, p: int) -> int:
+    """Parameter-chunk size bounding the per-block FFT buffer to ~64 MB so
+    diagnostics over 10k-chain batches stay far from HBM limits."""
     n_padded = 1
     while n_padded < 2 * n - 1:
         n_padded <<= 1
-    budget = 64 * 1024 * 1024  # complex-buffer bytes per chunk
-    chunk = int(max(1, min(p, budget // (c * n_padded * 8))))
-
-    def ess_block(args):
-        s, wi, vi = args  # s: (c, n, chunk)
-        avg_rho = jnp.mean(autocov_fft(s), axis=0)
-        rho = 1.0 - (wi - avg_rho) / vi
-        return (c * n) / _geyer_tau(rho)
-
-    if chunk >= p:
-        return ess_block((sample, within, var))
-
-    pad = (-p) % chunk
-    samp = jnp.pad(sample, ((0, 0), (0, 0), (0, pad)))
-    w = jnp.pad(within, (0, pad), constant_values=1.0)
-    v = jnp.pad(var, (0, pad), constant_values=1.0)
-    nblk = (p + pad) // chunk
-    samp = jnp.moveaxis(samp.reshape(c, n, nblk, chunk), 2, 0)
-    ess = jax.lax.map(
-        ess_block, (samp, w.reshape(nblk, chunk), v.reshape(nblk, chunk))
-    )
-    return ess.reshape(-1)[:p]
+    budget = 64 * 1024 * 1024
+    return int(max(1, min(p, budget // (c * n_padded * 8))))
 
 
 @functools.partial(jax.jit, static_argnames=("split",))
 def _split_rhat_ess_impl(sample: jax.Array, split: bool = True):
-    sample = sample.astype(jnp.float32)
-    if split:
-        sample = _splitcat(sample)
-    within, var = _withinvar(sample)
-    rhat = jnp.sqrt(var / within)
-    return rhat, _ess(sample, within, var)
+    """Chunked over the parameter axis directly from the raw sample: each
+    block is sliced, cast, split, and analyzed inside a ``lax.map`` step, so
+    no full-size split/transposed copies ever materialize — peak extra
+    memory is one parameter block."""
+    c0, n0, p = sample.shape
+
+    def block_stats(blk):
+        blk = blk.astype(jnp.float32)
+        if split:
+            blk = _splitcat(blk)
+        within, var = _withinvar(blk)
+        rhat = jnp.sqrt(var / within)
+        return rhat, _ess(blk, within, var)
+
+    c = 2 * c0 if split else c0
+    n = (n0 // 2) if split else n0
+    chunk = _ess_budget_chunk(c, n, p)
+    if chunk >= p:
+        return block_stats(sample)
+
+    # Block starts; the last block is shifted left to end exactly at p
+    # (overlap instead of padding — no full-array copy).
+    nblk = -(-p // chunk)
+    starts = jnp.minimum(jnp.arange(nblk) * chunk, p - chunk)
+
+    def one(k0):
+        blk = jax.lax.dynamic_slice(sample, (0, 0, k0), (c0, n0, chunk))
+        return block_stats(blk)
+
+    rhat_b, ess_b = jax.lax.map(one, starts)
+    overlap = nblk * chunk - p
+    rhat = jnp.concatenate([rhat_b[:-1].reshape(-1), rhat_b[-1][overlap:]])
+    ess = jnp.concatenate([ess_b[:-1].reshape(-1), ess_b[-1][overlap:]])
+    return rhat, ess
 
 
 def split_rhat_mean_ess(sample):
