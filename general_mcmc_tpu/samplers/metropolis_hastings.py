@@ -76,11 +76,43 @@ class MetropolisHastings(BatchSampler):
         the reference's ``chain_seed = 1 + seed + i``, :189-197)
     """
 
-    def __init__(self, target, proposal, initial_states, seed=0):
+    def __init__(self, target, proposal, initial_states, seed=0,
+                 backend: str = "xla"):
         self.target: Callable = as_logp_fn(target)
         self.proposal = proposal
         self.initial_states = jnp.asarray(initial_states)
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and not hasattr(proposal, "scale") and not hasattr(
+            proposal, "std"
+        ):
+            raise ValueError(
+                "pallas backend supports symmetric Gaussian random-walk "
+                "proposals (RandomWalkProposal / IsotropicGaussian) only"
+            )
+        self.backend = backend
         super().__init__(n_chains=self.initial_states.shape[0], seed=seed)
+
+    def run(self, n_collect: int, n_discard: int = 0):
+        if self.backend == "pallas":
+            # Whole run in one fused kernel (ops/pallas_mh.py).
+            from ..ops.pallas_mh import fused_mh_run
+
+            scale = getattr(self.proposal, "scale", None)
+            if scale is None:
+                scale = self.proposal.std
+            seed = int(jax.random.key_data(self._key).ravel()[-1]) & 0x7FFFFFFF
+            samples = fused_mh_run(
+                self.target,
+                self.initial_states,
+                scale,
+                n_collect,
+                n_discard,
+                seed=seed,
+            )
+            self._steps_done = n_collect + n_discard
+            return samples
+        return super().run(n_collect, n_discard)
 
     def _init_carry(self):
         x0 = self.initial_states

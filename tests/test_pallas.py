@@ -107,3 +107,27 @@ def test_hmc_pallas_backend_tpu():
     s = np.asarray(sampler.run(500, 100)).reshape(-1, 4)
     np.testing.assert_allclose(s.mean(axis=0), np.zeros(4), atol=0.3)
     np.testing.assert_allclose(s.std(axis=0), [1.0, 2.0, 0.5, 3.0], rtol=0.25)
+
+
+def test_mh_pallas_interpret_structure():
+    from general_mcmc_tpu.ops.pallas_mh import fused_mh_run
+    from general_mcmc_tpu import GaussianND
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.array([1.0, 2.0], jnp.float32))
+    s = fused_mh_run(t.unnorm_logp, init_det(8, 2), 0.5, 6, 2, seed=0, interpret=True)
+    assert s.shape == (8, 6, 2)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
+def test_mh_pallas_backend_tpu():
+    from general_mcmc_tpu import GaussianND, MetropolisHastings
+    from general_mcmc_tpu.samplers.metropolis_hastings import RandomWalkProposal
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.array([1.0, 2.0], jnp.float32))
+    mh = MetropolisHastings(
+        t, RandomWalkProposal(1.0), init_det(512, 2), backend="pallas"
+    ).seed(5)
+    s = np.asarray(mh.run(2000, 500)).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(axis=0), [0.0, 0.0], atol=0.2)
+    np.testing.assert_allclose(s.std(axis=0), [1.0, 2.0], rtol=0.2)
