@@ -73,9 +73,12 @@ class Gaussian2D:
         a, b = self.cov[0, 0], self.cov[0, 1]
         c, d = self.cov[1, 0], self.cov[1, 1]
         det = a * d - b * c
-        inv = jnp.array([[d, -b], [-c, a]]) / det
         diff = jnp.asarray(x) - self.mean
-        return diff @ inv @ diff, det
+        d0, d1 = diff[0], diff[1]
+        # explicit 2x2 quadratic form (elementwise: Pallas/Mosaic-safe and
+        # cheaper than a matvec at this size)
+        quad = (d * d0 * d0 - (b + c) * d0 * d1 + a * d1 * d1) / det
+        return quad, det
 
     def unnorm_logp(self, x):
         quad, _ = self._quad(x)
@@ -117,7 +120,14 @@ class DiffableGaussian2D:
 
     def unnorm_logp(self, x):
         diff = jnp.asarray(x) - self.mean
-        return self.norm_const - 0.5 * (diff @ self.inv_cov @ diff)
+        d0, d1 = diff[0], diff[1]
+        ic = self.inv_cov
+        quad = (
+            ic[0, 0] * d0 * d0
+            + (ic[0, 1] + ic[1, 0]) * d0 * d1
+            + ic[1, 1] * d1 * d1
+        )
+        return self.norm_const - 0.5 * quad
 
     __call__ = unnorm_logp
 

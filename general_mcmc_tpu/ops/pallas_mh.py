@@ -12,6 +12,12 @@ write.
 Scope: symmetric Gaussian random-walk proposals (RandomWalkProposal /
 IsotropicGaussian — the q-ratio cancels, metropolis_hastings.rs:312 reduces
 to Δlogp); asymmetric or discrete proposals use the XLA scan path.
+
+Layout: all state is kept **transposed** as ``[dim, chains]`` so the lane
+(minor) axis is the chain axis — TPU tiling pads the minor axis to 128, and
+MH targets are typically low-dimensional, so a ``[chains, dim]`` layout
+would waste up to 64× HBM on the collected output (and the per-step output
+block).  The target is traced with ``vmap(in_axes=1)`` to match.
 """
 
 from __future__ import annotations
@@ -46,9 +52,9 @@ def _mh_kernel(
         for r, shape in zip(const_refs, const_shapes)
     ]
 
-    def lp_fn(x):
-        (lp,) = closed_lp(x, *consts)
-        return lp.reshape(x.shape[0], 1)
+    def lp_fn(x_dB):
+        (lp,) = closed_lp(x_dB, *consts)  # traced with vmap in_axes=1
+        return lp.reshape(1, x_dB.shape[1])
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -60,12 +66,12 @@ def _mh_kernel(
         pos_ref[:] = x
         lp_ref[:] = lp_fn(x)
 
-    x = pos_ref[:]
-    lp = lp_ref[:]
+    x = pos_ref[:]  # [d, B]
+    lp = lp_ref[:]  # [1, B]
 
     proposed = x + jnp.float32(scale) * _standard_normal(x.shape)
     lp_prop = lp_fn(proposed)
-    u = _uniform_01((x.shape[0], 1))
+    u = _uniform_01((1, x.shape[1]))
     accept = jnp.log(u) < (lp_prop - lp)  # symmetric proposal: q cancels
 
     x = jnp.where(accept, proposed, x)
@@ -89,18 +95,18 @@ def fused_mh_run(
 
     Returns ``[n_chains, n_collect, dim]`` float32 samples.
     """
-    x0 = jnp.asarray(initial_positions, jnp.float32)
-    n, d = x0.shape
+    x0 = jnp.asarray(initial_positions, jnp.float32).T  # [d, n]
+    d, n = x0.shape
     if n % block_chains != 0:
         block_chains = n
     B = block_chains
     n_blocks = n // B
     total = n_collect + n_discard
 
-    def lp_batch(x):
-        return (jax.vmap(logp_fn)(x).astype(jnp.float32),)
+    def lp_batch(x_dB):
+        return (jax.vmap(logp_fn, in_axes=1)(x_dB).astype(jnp.float32),)
 
-    closed_jaxpr = jax.make_jaxpr(lp_batch)(jnp.zeros((B, d), jnp.float32))
+    closed_jaxpr = jax.make_jaxpr(lp_batch)(jnp.zeros((d, B), jnp.float32))
     consts = list(closed_jaxpr.consts)
     const_shapes = tuple(jnp.shape(c) for c in consts)
     consts_2d = [jnp.atleast_2d(jnp.asarray(c)) for c in consts]
@@ -124,19 +130,20 @@ def fused_mh_run(
         kernel,
         grid=(n_blocks, total),
         in_specs=[
-            pl.BlockSpec((B, d), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((d, B), lambda b, t: (0, b), memory_space=pltpu.VMEM)
         ]
         + [full_vmem(c) for c in consts_2d],
         out_specs=pl.BlockSpec(
-            (1, B, d),
-            lambda b, t: (jnp.maximum(t - n_discard, 0), b, 0),
+            (1, d, B),
+            lambda b, t: (jnp.maximum(t - n_discard, 0), 0, b),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_collect, n, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_collect, d, n), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, d), jnp.float32),  # position
-            pltpu.VMEM((B, 1), jnp.float32),  # logp
+            pltpu.VMEM((d, B), jnp.float32),  # position
+            pltpu.VMEM((1, B), jnp.float32),  # logp
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x0, *consts_2d)
-    return jnp.swapaxes(out, 0, 1)
+    # [n_collect, d, n] -> [n, n_collect, d]
+    return jnp.transpose(out, (2, 0, 1))

@@ -131,3 +131,31 @@ def test_mh_pallas_backend_tpu():
     s = np.asarray(mh.run(2000, 500)).reshape(-1, 2)
     np.testing.assert_allclose(s.mean(axis=0), [0.0, 0.0], atol=0.2)
     np.testing.assert_allclose(s.std(axis=0), [1.0, 2.0], rtol=0.2)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _ON_TPU, reason="needs real TPU")
+def test_mh_pallas_80m_stress():
+    """metropolis_hastings.rs:408-418 at full scale: 16 chains × 5M steps."""
+    import time
+
+    from general_mcmc_tpu import Gaussian2D
+    from general_mcmc_tpu.ops.pallas_mh import fused_mh_run
+
+    target = Gaussian2D(
+        mean=jnp.array([0.0, 1.0], jnp.float32),
+        cov=jnp.array([[4.0, 2.0], [2.0, 3.0]], jnp.float32),
+    )
+    t0 = time.perf_counter()
+    s = fused_mh_run(
+        target.unnorm_logp, init_det(16, 2), 1.0, 5_000_000, 500,
+        seed=7, block_chains=16,
+    )
+    jax.block_until_ready(s)
+    wall = time.perf_counter() - t0
+    flat = np.asarray(s[:, ::50]).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.05)
+    np.testing.assert_allclose(
+        np.cov(flat.T), [[4.0, 2.0], [2.0, 3.0]], atol=0.1
+    )
+    print(f"80M samples in {wall:.1f}s = {80e6/wall:.3g} samples/s")
