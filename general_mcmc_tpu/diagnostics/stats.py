@@ -322,16 +322,27 @@ def _ess_budget_chunk(c: int, n: int, p: int) -> int:
     return int(max(1, min(p, budget // (c * n_padded * 8))))
 
 
-@functools.partial(jax.jit, static_argnames=("split",))
-def _split_rhat_ess_impl(sample: jax.Array, split: bool = True):
+@functools.partial(jax.jit, static_argnames=("split", "steps_major"))
+def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
+                         steps_major: bool = False):
     """Chunked over the parameter axis directly from the raw sample: each
-    block is sliced, cast, split, and analyzed inside a ``lax.map`` step, so
-    no full-size split/transposed copies ever materialize — peak extra
-    memory is one parameter block."""
-    c0, n0, p = sample.shape
+    block is sliced, cast, (transposed,) split, and analyzed inside a
+    ``lax.map`` step, so no full-size split/transposed copies ever
+    materialize — peak extra memory is one parameter block.
+
+    ``steps_major``: accept the sampler scan's native ``[steps, chains, p]``
+    layout; the per-block transpose to chains-major is a chunk-sized copy,
+    letting callers skip the full-sample transpose entirely.
+    """
+    if steps_major:
+        n0, c0, p = sample.shape
+    else:
+        c0, n0, p = sample.shape
 
     def block_stats(blk):
         blk = blk.astype(jnp.float32)
+        if steps_major:
+            blk = jnp.swapaxes(blk, 0, 1)
         if split:
             blk = _splitcat(blk)
         within, var = _withinvar(blk)
@@ -350,7 +361,9 @@ def _split_rhat_ess_impl(sample: jax.Array, split: bool = True):
     starts = jnp.minimum(jnp.arange(nblk) * chunk, p - chunk)
 
     def one(k0):
-        blk = jax.lax.dynamic_slice(sample, (0, 0, k0), (c0, n0, chunk))
+        blk = jax.lax.dynamic_slice(
+            sample, (0, 0, k0), (sample.shape[0], sample.shape[1], chunk)
+        )
         return block_stats(blk)
 
     rhat_b, ess_b = jax.lax.map(one, starts)
@@ -360,13 +373,16 @@ def _split_rhat_ess_impl(sample: jax.Array, split: bool = True):
     return rhat, ess
 
 
-def split_rhat_mean_ess(sample):
+def split_rhat_mean_ess(sample, steps_major: bool = False):
     """Split-R-hat and ESS per parameter, Stan methodology
-    (stats.rs:439-450).  ``sample`` is (chains, observations, parameters);
-    each chain is split in half and both metrics are computed over the 2c
-    half-chains, entirely on device.
+    (stats.rs:439-450).  ``sample`` is (chains, observations, parameters) —
+    or the scan-native (observations, chains, parameters) with
+    ``steps_major=True`` — each chain is split in half and both metrics are
+    computed over the 2c half-chains, entirely on device.
     """
-    return _split_rhat_ess_impl(jnp.asarray(sample), split=True)
+    return _split_rhat_ess_impl(
+        jnp.asarray(sample), split=True, steps_major=steps_major
+    )
 
 
 def ess_from_chainstats(sample, chain_stats: list[ChainStats]) -> jax.Array:

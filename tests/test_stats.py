@@ -146,3 +146,12 @@ def test_basic_stats_median_descending_convention():
     assert bs.min == 1.0 and bs.max == 4.0
     assert bs.median == 2.0  # descending [4,3,2,1], index 2
     np.testing.assert_allclose(bs.mean, 2.5)
+
+
+def test_steps_major_matches_chain_major():
+    key = jax.random.key(5)
+    x = jax.random.normal(key, (6, 300, 4), jnp.float32)
+    r1, e1 = split_rhat_mean_ess(x)
+    r2, e2 = split_rhat_mean_ess(jnp.swapaxes(x, 0, 1), steps_major=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5)
