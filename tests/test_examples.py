@@ -89,3 +89,10 @@ def test_logistic_nuts():
     assert np.max(np.abs(beta_hat - beta_true)) < 1.5
     strong = np.abs(beta_true) > 0.5
     assert np.all(np.sign(beta_hat[strong]) == np.sign(beta_true[strong]))
+
+
+def test_sharded_nuts_example():
+    import sharded_nuts
+
+    sample = sharded_nuts.main(n_chains=64, dim=8, n_collect=30, n_warmup=80)
+    assert sample.shape[0] == 64
