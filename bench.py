@@ -84,6 +84,8 @@ def main():
     jax.block_until_ready(sample)
     t_first = time.perf_counter() - t0
     print(f"first run (compile + exec): {t_first:.2f}s", file=sys.stderr)
+    sample.delete()  # free the warm-up run's sample buffer before rerunning
+    del sample
 
     # Timed run with a warm jit cache.
     t0 = time.perf_counter()

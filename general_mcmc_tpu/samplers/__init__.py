@@ -1,3 +1,8 @@
 from .gibbs import GibbsSampler
 from .hmc import HMC
-from .metropolis_hastings import DiscreteWalkProposal, MetropolisHastings, RandomWalkProposal
+from .metropolis_hastings import (
+    DiscreteWalkProposal,
+    MetropolisHastings,
+    RandomWalkProposal,
+)
+from .nuts import NUTS, NUTSMassMatrixConfig
