@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 N_CHAINS = 10_240
 DIM = 100
-N_COLLECT = 2048
+N_COLLECT = 1024
 N_WARMUP = 384
 MAX_TREE_DEPTH = 8
 SEED = 0
