@@ -39,6 +39,7 @@ from .models.distributions import (
     Gaussian2D,
     GaussianND,
     IsotropicGaussian,
+    NealsFunnel,
     Poisson,
     Rosenbrock2D,
     RosenbrockND,

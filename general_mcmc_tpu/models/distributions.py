@@ -37,6 +37,7 @@ __all__ = [
     "Rosenbrock2D",
     "RosenbrockND",
     "GaussianND",
+    "NealsFunnel",
     "Poisson",
     "Binomial",
     "as_logp_fn",
@@ -290,5 +291,28 @@ class Binomial:
         )
         lp = log_choose + safe_k * math.log(self.p) + (n - safe_k) * math.log(1 - self.p)
         return jnp.where(valid, lp, -jnp.inf)
+
+    __call__ = unnorm_logp
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class NealsFunnel:
+    """Neal's funnel: v ~ N(0, 3²), x_i | v ~ N(0, e^v) for i < dim-1
+    (state layout ``[x_1..x_{d-1}, v]``).
+
+    The canonical pathological geometry for HMC-family samplers — fixed
+    step sizes diverge in the funnel's neck, which is exactly what the
+    divergence counters (``NUTS.divergences``) are for.  Not in the
+    reference's model zoo; included as the standard stress target.
+    """
+
+    dim: int = 10
+    v_std: float = 3.0
+
+    def unnorm_logp(self, theta):
+        x, v = theta[:-1], theta[-1]
+        lp_v = -0.5 * (v / self.v_std) ** 2
+        lp_x = -0.5 * jnp.sum(x * x) * jnp.exp(-v) - 0.5 * (self.dim - 1) * v
+        return lp_v + lp_x
 
     __call__ = unnorm_logp

@@ -70,3 +70,17 @@ def test_hmc_accept_preserves_gradient_consistency():
     lp_true, grad_true = jax.vmap(jax.value_and_grad(sampler.target))(x)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_true), atol=1e-6)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_true), atol=1e-6)
+
+
+def test_hmc_marginals_ks():
+    from scipy import stats as sps
+
+    from general_mcmc_tpu import GaussianND
+
+    target = GaussianND(mean=jnp.zeros(3), cov=jnp.array([1.0, 2.0, 0.5]))
+    sampler = HMC(target, init_det(8, 3), 0.25, 10).set_seed(13)
+    sample = np.asarray(sampler.run(2000, 500))
+    for j, sd in enumerate([1.0, 2.0, 0.5]):
+        draws = sample[:, ::4, j].ravel()
+        stat, _ = sps.kstest(draws, "norm", args=(0.0, sd))
+        assert stat < 0.03, (j, stat)

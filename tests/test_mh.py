@@ -122,3 +122,18 @@ def test_runstats_on_mh_sample():
     stats = RunStats.from_sample(sample)
     assert stats.rhat.max < 1.2
     assert stats.ess.min > 20.0
+
+
+def test_mh_marginals_ks():
+    """KS distance of thinned MH draws against the exact marginals."""
+    from scipy import stats as sps
+
+    from general_mcmc_tpu import GaussianND
+
+    target = GaussianND(mean=jnp.zeros(2), cov=jnp.array([1.0, 2.0]))
+    mh = MetropolisHastings(target, IsotropicGaussian(1.2), init_det(8, 2)).seed(11)
+    sample = np.asarray(mh.run(8000, 1000))
+    for j, sd in enumerate([1.0, 2.0]):
+        draws = sample[:, ::40, j].ravel()  # thin: MH mixes slowly
+        stat, _ = sps.kstest(draws, "norm", args=(0.0, sd))
+        assert stat < 0.05, (j, stat)

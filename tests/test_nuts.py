@@ -205,3 +205,35 @@ def test_nuts_adapted_step_size_reasonable():
     sampler.run(200, 300)
     eps = np.asarray(sampler.adapted_step_size)
     assert np.all(eps > 0.05) and np.all(eps < 10.0)
+
+
+def test_nuts_marginals_ks():
+    """Kolmogorov–Smirnov distance of pooled NUTS samples against the exact
+    marginal CDFs — a stronger distributional check than moment envelopes."""
+    from scipy import stats as sps
+
+    scales = jnp.array([1.0, 4.0])
+    target = GaussianND(mean=jnp.zeros(2), cov=scales)
+    sampler = NUTS(
+        target, init_det(8, 2), 0.8,
+        mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
+    ).set_seed(7)
+    sample = np.asarray(sampler.run(1500, 500))
+    for j, sd in enumerate([1.0, 4.0]):
+        # thin to reduce autocorrelation before the KS test
+        draws = sample[:, ::5, j].ravel()
+        stat, pvalue = sps.kstest(draws, "norm", args=(0.0, sd))
+        assert stat < 0.03, (j, stat, pvalue)
+
+
+def test_nuts_funnel_divergences():
+    """Neal's funnel with a deliberately coarse fixed step size must trip
+    the divergence detector; a well-conditioned Gaussian must not."""
+    from general_mcmc_tpu import NealsFunnel
+
+    funnel = NealsFunnel(dim=8)
+    sampler = NUTS(
+        funnel, init_det(16, 8), 0.8, step_size=1.2, max_tree_depth=6
+    ).set_seed(3)
+    sampler.run(150, 0)
+    assert int(jnp.sum(sampler.divergences)) > 0
