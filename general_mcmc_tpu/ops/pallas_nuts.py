@@ -26,13 +26,17 @@ identity/diagonal mass matrices are supported (dense falls back to XLA).
 STATUS: **experimental** — validated under the Pallas TPU interpreter; on
 current hardware jaxlib the Mosaic backend rejects the full kernel with
 "Not implemented: Lane broadcast" even though every constituent pattern
-compiles in isolation (verified: leapfrog+autodiff-vg inside scf.while,
-bool-free int32 flag carries, per-slot checkpoint selects, PRNG draws in
-the loop body, (B,1) grid blocks, vector-by-vector shifts, arithmetic
-masking with pltpu.repeat).  The fused-HMC kernel (pallas_hmc.py), which
-shares the leapfrog/vg/PRNG machinery, compiles and runs at 1.3e7
-grad-evals/s — the remaining gap is Mosaic legalization of this kernel's
-boundary-bookkeeping section, tracked for the next jaxlib bump.
+compiles in isolation (verified by probe kernels: leapfrog+autodiff-vg
+inside scf.while, int32/f32 flag carries, per-slot checkpoint selects,
+PRNG draws in the loop body, (B,1) grid blocks, tree-index bit math,
+arithmetic masking with pltpu.repeat — and a fully bool-free f32
+mask-algebra variant of this kernel still fails).  The pre-layout Mosaic
+module contains only four broadcast ops, all const-expansion patterns a
+probe kernel compiles fine; the rejected "lane broadcast" is therefore a
+relayout Mosaic inserts during layout assignment on the full program —
+not attributable to any source op, and likely fixed by a jaxlib bump.
+The fused-HMC kernel (pallas_hmc.py), which shares the leapfrog/vg/PRNG
+machinery, compiles and runs at 1.3e7 grad-evals/s.
 """
 
 from __future__ import annotations
@@ -123,8 +127,18 @@ def _nuts_kernel(
 
     fzero = jnp.zeros((B, 1), jnp.float32)
     izero = jnp.zeros((B, 1), jnp.int32)
+    fone = jnp.ones((B, 1), jnp.float32)
 
-    v0 = jnp.where(_uniform_01((B, 1)) < 0.5, -1.0, 1.0)
+    # Pure f32 mask algebra: every Mosaic failure mode hit so far involved
+    # bool vectors (carries, selects with scalar leaves, lane broadcasts),
+    # so flags live as {0,1} float32 and compose with *, +, 1-x.
+    def f(b):  # compare -> {0,1} f32, immediately after the comparison
+        return b.astype(jnp.float32)
+
+    def orf(a, b):
+        return a + b - a * b
+
+    v0 = 1.0 - 2.0 * f(_uniform_01((B, 1)) < 0.5)
 
     state = dict(
         # current-direction endpoint (the integration frontier)
@@ -139,39 +153,36 @@ def _nuts_kernel(
         v=v0,
         i=izero,  # leaf index within the current subtree
         j=izero,  # doubling counter
-        n=jnp.ones((B, 1), jnp.float32),
+        n=fone,
         n_sub=fzero,
         alpha_sub=fzero,
-        nalpha_sub=izero,
+        nalpha_sub=fzero,
         alpha_out=fzero,
-        nalpha_out=jnp.ones((B, 1), jnp.int32),
-        # bool while-carries fail Mosaic legalization (scf.yield): flags
-        # ride as int32 and convert to bool at use.
-        diverged=izero,
-        leapfrogs=izero,
-        done=izero,
-        sublen=jnp.ones((B, 1), jnp.int32),  # 2^j, maintained by doubling
-        # Checkpoint stack as per-slot arrays (S static): keeps every op at
-        # a native [B, d]/[B, 1] layout — Mosaic's layout inference cannot
-        # handle [B, S] lane-broadcast comparisons.
+        nalpha_out=fone,
+        diverged=fzero,
+        leapfrogs=fzero,
+        done=fzero,
+        sublen=fone,  # 2^j, maintained by doubling
         pos_ck=tuple(jnp.zeros((B, d), jnp.float32) for _ in range(S)),
         vel_ck=tuple(jnp.zeros((B, d), jnp.float32) for _ in range(S)),
         c1_ck=tuple(fzero for _ in range(S)),
     )
 
     def cond(c):
-        return jnp.sum(1 - c["done"]) > 0
+        return jnp.sum(1.0 - c["done"]) > 0.0
 
     def body(c):
-        act = c["done"] == 0
+        act = 1.0 - c["done"]
         ev = c["v"] * eps  # [B, 1]
-        # Mosaic implements lane-broadcast for selects but not arithmetic:
-        # [B,1] operands of elementwise math must be repeated explicitly.
-        ev_d = pltpu.repeat(ev, d, axis=1)  # [B, d]
+        # [B,1] operands of elementwise [B,d] math need explicit repeats
+        # (Mosaic has no arithmetic lane broadcast).
+        ev_d = pltpu.repeat(ev, d, axis=1)
 
-        def seld(mask, a, b):
-            # masked [B,d] select via arithmetic blend (mask is [B,1])
-            m = pltpu.repeat(mask.astype(jnp.float32), d, axis=1)
+        def seld(m, a, b):
+            # masked [B,d] blend; m is a {0,1} f32 [B,1] mask
+            return b + (a - b) * pltpu.repeat(m, d, axis=1)
+
+        def sel1(m, a, b):
             return b + (a - b) * m
 
         # --- one leapfrog on the frontier --------------------------------
@@ -182,72 +193,63 @@ def _nuts_kernel(
         vel1 = inv * m1
         joint = lp1 - 0.5 * jnp.sum(m1 * vel1, axis=1, keepdims=True)
 
-        leaf_valid = (logu < joint) & act
-        leaf_ok = (logu - _DELTA_MAX) < joint
-        # scalar-leaf jnp.where inside the while body trips Mosaic's
-        # lane-broadcast legalization; mask arithmetically instead.
-        actf = act.astype(jnp.float32)
-        # min(1, e^x) = e^{min(0, x)}; min(0, x) = x·1[x<0] avoids the
-        # scalar-splat minimum op.
+        leaf_valid = f(logu < joint) * act
+        leaf_ok = f((logu - _DELTA_MAX) < joint)
+        # min(1, e^x) = e^{min(0, x)}; min(0, x) = x·1[x<0]
         dj = joint - joint0
-        alpha_sub = c["alpha_sub"] + actf * jnp.exp(
-            dj * (dj < 0.0).astype(jnp.float32)
-        )
-        nalpha_sub = c["nalpha_sub"] + act.astype(jnp.int32)
-        leapfrogs = c["leapfrogs"] + act.astype(jnp.int32)
-        n_sub = c["n_sub"] + leaf_valid.astype(jnp.float32)
+        alpha_sub = c["alpha_sub"] + act * jnp.exp(dj * f(dj < 0.0))
+        nalpha_sub = c["nalpha_sub"] + act
+        leapfrogs = c["leapfrogs"] + act
+        n_sub = c["n_sub"] + leaf_valid
 
         u_take = _uniform_01((B, 1))
         u_swap = _uniform_01((B, 1))
         u_dir = _uniform_01((B, 1))
 
         # progressive uniform proposal within the subtree
-        take = act & ((c["i"] == 0) | (leaf_valid & (u_take * n_sub < 1.0)))
+        i = c["i"]
+        first_leaf = f(i == 0)
+        take = act * orf(first_leaf, leaf_valid * f(u_take * n_sub < 1.0))
         sprop = seld(take, p1, c["sprop"])
-        sprop_lp = jnp.where(take, lp1, c["sprop_lp"])
+        sprop_lp = sel1(take, lp1, c["sprop_lp"])
         sprop_g = seld(take, g1, c["sprop_g"])
 
         # --- checkpoint stack + within-subtree U-turn --------------------
-        i = c["i"]
         idx_max = _popcount_small(i >> 1)
-        is_even = (i % 2) == 0
+        is_even = f((i % 2) == 0)
         idx_min = idx_max - _trailing_ones_small(i) + 1
         c1 = jnp.sum(p1 * vel1, axis=1, keepdims=True)  # [B, 1]
 
         pos_ck, vel_ck, c1_ck = [], [], []
-        turned = jnp.zeros((B, 1), jnp.bool_)
+        turned = fzero
         for k in range(S):
-            store_k = act & is_even & (idx_max == k)
+            store_k = act * is_even * f(idx_max == k)
             pk = seld(store_k, p1, c["pos_ck"][k])
             vk = seld(store_k, vel1, c["vel_ck"][k])
-            ck = jnp.where(store_k, c1, c["c1_ck"][k])
+            ck = sel1(store_k, c1, c["c1_ck"][k])
             pos_ck.append(pk)
             vel_ck.append(vk)
             c1_ck.append(ck)
-            check_k = act & (~is_even) & (idx_min <= k) & (k <= idx_max)
-            dot_ck = c["v"] * (
-                jnp.sum(vk * p1, axis=1, keepdims=True) - ck
-            )
-            dot_cur = c["v"] * (
-                c1 - jnp.sum(pk * vel1, axis=1, keepdims=True)
-            )
-            turned = turned | (check_k & ((dot_ck < 0.0) | (dot_cur < 0.0)))
+            check_k = act * (1.0 - is_even) * f(idx_min <= k) * f(k <= idx_max)
+            dot_ck = c["v"] * (jnp.sum(vk * p1, axis=1, keepdims=True) - ck)
+            dot_cur = c["v"] * (c1 - jnp.sum(pk * vel1, axis=1, keepdims=True))
+            bad = orf(f(dot_ck < 0.0), f(dot_cur < 0.0))
+            turned = orf(turned, check_k * bad)
         pos_ck, vel_ck, c1_ck = tuple(pos_ck), tuple(vel_ck), tuple(c1_ck)
-        s_sub = leaf_ok & ~turned
-
+        s_sub = leaf_ok * (1.0 - turned)
 
         # --- frontier advance & boundary detection -----------------------
         pos_e = seld(act, p1, c["pos_e"])
         mom_e = seld(act, m1, c["mom_e"])
         grad_e = seld(act, g1, c["grad_e"])
+        i_new = i + c["i"] * 0 + act.astype(jnp.int32)
         i_new = i + act.astype(jnp.int32)
-        # subtree length 2^j carried and doubled at boundaries (vector
-        # shifts trip Mosaic)
-        at_end = act & ((i_new >= c["sublen"]) | ~s_sub)
+        at_end = act * orf(f(i_new.astype(jnp.float32) >= c["sublen"]),
+                           1.0 - s_sub)
 
-        minus = c["v"] < 0.0
-        upd_m = at_end & minus
-        upd_p = at_end & ~minus
+        minus = f(c["v"] < 0.0)
+        upd_m = at_end * minus
+        upd_p = at_end * (1.0 - minus)
         pos_m = seld(upd_m, pos_e, c["pos_m"])
         mom_m = seld(upd_m, mom_e, c["mom_m"])
         grad_m = seld(upd_m, grad_e, c["grad_m"])
@@ -256,34 +258,30 @@ def _nuts_kernel(
         grad_p = seld(upd_p, grad_e, c["grad_p"])
 
         # across-doubling swap w.p. min(1, n_sub / n)
-        take_outer = at_end & s_sub & (u_swap * c["n"] < n_sub)
+        take_outer = at_end * s_sub * f(u_swap * c["n"] < n_sub)
         prop = seld(take_outer, sprop, c["prop"])
-        prop_lp = jnp.where(take_outer, sprop_lp, c["prop_lp"])
+        prop_lp = sel1(take_outer, sprop_lp, c["prop_lp"])
         prop_g = seld(take_outer, sprop_g, c["prop_g"])
-        at_end_f = at_end.astype(jnp.float32)
-        at_end_i = at_end.astype(jnp.int32)
-        n = c["n"] + at_end_f * n_sub
-
+        n = c["n"] + at_end * n_sub
 
         # global U-turn across the full trajectory
         diff_dot_m = jnp.sum((pos_p - pos_m) * (inv * mom_m), axis=1, keepdims=True)
         diff_dot_p = jnp.sum((pos_p - pos_m) * (inv * mom_p), axis=1, keepdims=True)
-        glob_ok = (diff_dot_m >= 0.0) & (diff_dot_p >= 0.0)
-        s_next = s_sub & glob_ok
+        glob_ok = f(diff_dot_m >= 0.0) * f(diff_dot_p >= 0.0)
+        s_next = s_sub * glob_ok
 
-        alpha_out = jnp.where(at_end, alpha_sub, c["alpha_out"])
-        nalpha_out = jnp.where(at_end, nalpha_sub, c["nalpha_out"])
+        alpha_out = sel1(at_end, alpha_sub, c["alpha_out"])
+        nalpha_out = sel1(at_end, nalpha_sub, c["nalpha_out"])
         j_new = c["j"] + at_end.astype(jnp.int32)
-        done_b = (c["done"] == 1) | (at_end & (~s_next | (j_new >= max_depth)))
-
+        depth_capped = f(j_new.astype(jnp.float32) >= float(max_depth))
+        done = orf(c["done"], at_end * orf(1.0 - s_next, depth_capped))
 
         # next subtree: fresh direction, frontier jumps to the chosen edge
-        cont = at_end & ~done_b
-        new_v = 1.0 - 2.0 * (u_dir < 0.5).astype(jnp.float32)
-        contf = cont.astype(jnp.float32)
-        v = c["v"] + contf * (new_v - c["v"])
-        new_minus = cont & (v < 0.0)
-        new_plus = cont & (v >= 0.0)
+        cont = at_end * (1.0 - done)
+        new_v = 1.0 - 2.0 * f(u_dir < 0.5)
+        v = c["v"] + cont * (new_v - c["v"])
+        new_minus = cont * f(v < 0.0)
+        new_plus = cont * f(v >= 0.0)
         pos_e = seld(new_minus, pos_m, seld(new_plus, pos_p, pos_e))
         mom_e = seld(new_minus, mom_m, seld(new_plus, mom_p, mom_e))
         grad_e = seld(new_minus, grad_m, seld(new_plus, grad_p, grad_e))
@@ -295,20 +293,18 @@ def _nuts_kernel(
             prop=prop, prop_lp=prop_lp, prop_g=prop_g,
             sprop=sprop, sprop_lp=sprop_lp, sprop_g=sprop_g,
             v=v,
-            i=i_new * (1 - at_end_i),
+            i=i_new - at_end.astype(jnp.int32) * i_new,
             j=j_new,
             n=n,
-            n_sub=n_sub * (1.0 - at_end_f),
-            alpha_sub=alpha_sub * (1.0 - at_end_f),
-            nalpha_sub=nalpha_sub * (1 - at_end_i),
+            n_sub=n_sub * (1.0 - at_end),
+            alpha_sub=alpha_sub * (1.0 - at_end),
+            nalpha_sub=nalpha_sub * (1.0 - at_end),
             alpha_out=alpha_out,
             nalpha_out=nalpha_out,
-            diverged=jnp.maximum(
-                c["diverged"], (act & ~leaf_ok).astype(jnp.int32)
-            ),
+            diverged=orf(c["diverged"], act * (1.0 - leaf_ok)),
             leapfrogs=leapfrogs,
-            done=done_b.astype(jnp.int32),
-            sublen=c["sublen"] * (1 + at_end_i),
+            done=done,
+            sublen=c["sublen"] * (1.0 + at_end),
             pos_ck=pos_ck,
             vel_ck=vel_ck,
             c1_ck=c1_ck,
@@ -320,10 +316,10 @@ def _nuts_kernel(
     out_lp[:] = final["prop_lp"]
     out_grad[:] = final["prop_g"]
     out_alpha[:] = final["alpha_out"]
-    out_nalpha[:] = final["nalpha_out"]
-    out_lf[:] = final["leapfrogs"]
+    out_nalpha[:] = final["nalpha_out"].astype(jnp.int32)
+    out_lf[:] = final["leapfrogs"].astype(jnp.int32)
     out_depth[:] = final["j"]
-    out_div[:] = final["diverged"]
+    out_div[:] = final["diverged"].astype(jnp.int32)
 
 
 def pallas_nuts_step(
