@@ -124,4 +124,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel occasionally faults transiently (UNAVAILABLE); one
+    # retry keeps the driver's single bench invocation robust.
+    try:
+        main()
+    except jax.errors.JaxRuntimeError as e:
+        print(f"transient TPU error, retrying once: {e}", file=sys.stderr)
+        time.sleep(20)
+        main()
