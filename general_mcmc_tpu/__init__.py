@@ -26,6 +26,7 @@ from .diagnostics.stats import (
 from .models import distributions
 from .samplers.gibbs import GibbsSampler
 from .samplers.hmc import HMC
+from .samplers.mala import MALA
 from .samplers.metropolis_hastings import (
     DiscreteWalkProposal,
     MetropolisHastings,

@@ -1,5 +1,6 @@
 from .gibbs import GibbsSampler
 from .hmc import HMC
+from .mala import MALA
 from .metropolis_hastings import (
     DiscreteWalkProposal,
     MetropolisHastings,
