@@ -30,30 +30,47 @@ class GibbsSampler(BatchSampler):
     ----------
     conditional : callable ``(key, i, state) -> value``
         Full conditional sampler for coordinate ``i`` given the current
-        state; traced once per coordinate (``i`` is static).
+        state.  With the default static sweep, ``i`` is a Python int at
+        trace time (free per-coordinate Python branching).
     initial_states : [n_chains, dim] array
     seed : int or PRNG key (the reference's ``seed + i`` per-chain
         derivation, gibbs.rs:179-188, via fold_in)
+    static_sweep : unroll the sweep (default).  For high-dimensional
+        states pass ``False``: the sweep becomes a ``lax.scan`` over a
+        *traced* coordinate index, keeping the compiled program O(1) in
+        ``dim`` — the conditional must then be traceable in ``i``
+        (e.g. branch with ``lax.switch``/``jnp.where``).
     """
 
-    def __init__(self, conditional, initial_states, seed=0):
+    def __init__(self, conditional, initial_states, seed=0, static_sweep=True):
         if hasattr(conditional, "sample"):
             conditional = conditional.sample
         self.conditional = conditional
         self.initial_states = jnp.asarray(initial_states)
         self.dim = self.initial_states.shape[1]
+        self.static_sweep = bool(static_sweep)
         super().__init__(n_chains=self.initial_states.shape[0], seed=seed)
 
     def _init_carry(self):
         return (self.initial_states, self._chain_keys)
 
     def _chain_step(self, x, key, m):
-        """One full Gibbs sweep for one chain (gibbs.rs:95-99)."""
+        """One full Gibbs sweep for one chain (gibbs.rs:95-99); coordinate
+        ``i`` always sees the already-updated values of ``0..i-1``."""
         k = step_key(key, m)
-        for i in range(self.dim):
+        if self.static_sweep:
+            for i in range(self.dim):
+                ki = jax.random.fold_in(k, i)
+                xi = self.conditional(ki, i, x)
+                x = x.at[i].set(xi)
+            return x
+
+        def body(xc, i):
             ki = jax.random.fold_in(k, i)
-            xi = self.conditional(ki, i, x)
-            x = x.at[i].set(xi)
+            xi = self.conditional(ki, i, xc)
+            return xc.at[i].set(xi), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(self.dim))
         return x
 
     def _step(self, carry, m):
