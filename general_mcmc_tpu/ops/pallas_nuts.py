@@ -23,20 +23,25 @@ with two deviations: randomness comes from the on-core hardware PRNG (a
 different — statistically equivalent — stream than Threefry), and only
 identity/diagonal mass matrices are supported (dense falls back to XLA).
 
-STATUS: **experimental** — validated under the Pallas TPU interpreter; on
-current hardware jaxlib the Mosaic backend rejects the full kernel with
-"Not implemented: Lane broadcast" even though every constituent pattern
-compiles in isolation (verified by probe kernels: leapfrog+autodiff-vg
-inside scf.while, int32/f32 flag carries, per-slot checkpoint selects,
-PRNG draws in the loop body, (B,1) grid blocks, tree-index bit math,
-arithmetic masking with pltpu.repeat — and a fully bool-free f32
-mask-algebra variant of this kernel still fails).  The pre-layout Mosaic
-module contains only four broadcast ops, all const-expansion patterns a
-probe kernel compiles fine; the rejected "lane broadcast" is therefore a
-relayout Mosaic inserts during layout assignment on the full program —
-not attributable to any source op, and likely fixed by a jaxlib bump.
-The fused-HMC kernel (pallas_hmc.py), which shares the leapfrog/vg/PRNG
-machinery, compiles and runs at 1.3e7 grad-evals/s.
+STATUS: **working on hardware, not yet fast**.  The kernel compiles and
+samples correctly on TPU v5e after three Mosaic workarounds discovered by
+systematic ablation (each documented inline): (1) no numeric i32<->f32
+casts on [B,1] vectors — counters are carried as f32 with a parallel i32
+copy for bit math, casts happen outside the loop (bool->f32/i32 casts are
+fine); (2) lane reductions and carry-init constants are routed through a
+[B,d]@[d,1] MXU matvec because jnp.sum(axis=1, keepdims=True) produces a
+lane-REPLICATED [B,1] layout and Mosaic cannot insert the
+replicated<->concrete relayout a while-loop carry requires; (3) the
+earlier constraints (no bool carries, explicit pltpu.repeat for
+arithmetic lane broadcasts, per-slot checkpoint arrays, no vector
+shifts, no scalar-leaf selects) still stand.
+
+Performance: at block_chains=64 (the largest block fitting Mosaic's
+scoped-VMEM stack for this body) throughput is ~6x BELOW the XLA tree at
+2048x100 — the big loop body spills heavily.  Round-2 work: shrink the
+live set (merge proposal buffers, roll the slot loop), raise the VMEM
+limit via CompilerParams, and re-tune block size.  The XLA backend
+remains the default.
 """
 
 from __future__ import annotations
@@ -95,6 +100,7 @@ def _nuts_kernel(
     closed_vg: Callable,
     const_shapes,
     max_depth: int,
+    ablate: frozenset = frozenset(),  # debug: disable named sections
 ):
     n_consts = len(const_shapes)
     const_refs = refs[:n_consts]
@@ -120,14 +126,30 @@ def _nuts_kernel(
     B, d = x.shape
     S = max_depth  # checkpoint slots 0..S-1 plus spare S → S+1 rows
 
+    ones_d1 = jnp.ones((d, 1), jnp.float32)
+
+    def rsum(t):
+        # Lane reduction via MXU matvec: jnp.sum(axis=1, keepdims=True)
+        # yields a lane-replicated [B,1] layout, and Mosaic cannot insert
+        # the replicated<->concrete relayouts the while-loop carry needs
+        # ("Not implemented: Lane broadcast" / "Invalid relayout"); the
+        # matmul result carries a concrete layout.
+        return jax.lax.dot_general(
+            t, ones_d1,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     mom0 = _standard_normal((B, d)) * scale
-    ke0 = 0.5 * jnp.sum(mom0 * (inv * mom0), axis=1, keepdims=True)
+    ke0 = 0.5 * rsum(mom0 * (inv * mom0))
     joint0 = lp - ke0
     logu = joint0 + jnp.log(_uniform_01((B, 1)))  # joint0 - Exp(1)
 
-    fzero = jnp.zeros((B, 1), jnp.float32)
+    # concrete-layout constants for the loop carry (plain (B,1) constant
+    # vectors are lane-replicated and mismatch the body's yields)
+    fzero = rsum(jnp.zeros((B, d), jnp.float32))
     izero = jnp.zeros((B, 1), jnp.int32)
-    fone = jnp.ones((B, 1), jnp.float32)
+    fone = fzero + 1.0
 
     # Pure f32 mask algebra: every Mosaic failure mode hit so far involved
     # bool vectors (carries, selects with scalar leaves, lane broadcasts),
@@ -151,8 +173,13 @@ def _nuts_kernel(
         # subtree proposal
         sprop=x, sprop_lp=lp, sprop_g=g0,
         v=v0,
-        i=izero,  # leaf index within the current subtree
-        j=izero,  # doubling counter
+        # Leaf index carried twice: f32 for arithmetic/comparisons and i32
+        # for tree-index bit math — numeric i32<->f32 casts of [B,1]
+        # vectors are the "Lane broadcast" Mosaic cannot legalize (bool
+        # casts are fine; casts outside the loop are fine).
+        i_f=fzero,
+        i_int=izero,
+        j=fzero,  # doubling counter (f32; cast to i32 after the loop)
         n=fone,
         n_sub=fzero,
         alpha_sub=fzero,
@@ -191,7 +218,7 @@ def _nuts_kernel(
         lp1, g1 = vg(p1)
         m1 = m1 + g1 * (ev_d * 0.5)
         vel1 = inv * m1
-        joint = lp1 - 0.5 * jnp.sum(m1 * vel1, axis=1, keepdims=True)
+        joint = lp1 - 0.5 * rsum(m1 * vel1)
 
         leaf_valid = f(logu < joint) * act
         leaf_ok = f((logu - _DELTA_MAX) < joint)
@@ -207,7 +234,7 @@ def _nuts_kernel(
         u_dir = _uniform_01((B, 1))
 
         # progressive uniform proposal within the subtree
-        i = c["i"]
+        i = c["i_int"]
         first_leaf = f(i == 0)
         take = act * orf(first_leaf, leaf_valid * f(u_take * n_sub < 1.0))
         sprop = seld(take, p1, c["sprop"])
@@ -218,7 +245,7 @@ def _nuts_kernel(
         idx_max = _popcount_small(i >> 1)
         is_even = f((i % 2) == 0)
         idx_min = idx_max - _trailing_ones_small(i) + 1
-        c1 = jnp.sum(p1 * vel1, axis=1, keepdims=True)  # [B, 1]
+        c1 = rsum(p1 * vel1)  # [B, 1]
 
         pos_ck, vel_ck, c1_ck = [], [], []
         turned = fzero
@@ -231,60 +258,86 @@ def _nuts_kernel(
             vel_ck.append(vk)
             c1_ck.append(ck)
             check_k = act * (1.0 - is_even) * f(idx_min <= k) * f(k <= idx_max)
-            dot_ck = c["v"] * (jnp.sum(vk * p1, axis=1, keepdims=True) - ck)
-            dot_cur = c["v"] * (c1 - jnp.sum(pk * vel1, axis=1, keepdims=True))
+            dot_ck = c["v"] * (rsum(vk * p1) - ck)
+            dot_cur = c["v"] * (c1 - rsum(pk * vel1))
             bad = orf(f(dot_ck < 0.0), f(dot_cur < 0.0))
             turned = orf(turned, check_k * bad)
         pos_ck, vel_ck, c1_ck = tuple(pos_ck), tuple(vel_ck), tuple(c1_ck)
         s_sub = leaf_ok * (1.0 - turned)
 
         # --- frontier advance & boundary detection -----------------------
-        pos_e = seld(act, p1, c["pos_e"])
-        mom_e = seld(act, m1, c["mom_e"])
-        grad_e = seld(act, g1, c["grad_e"])
-        i_new = i + c["i"] * 0 + act.astype(jnp.int32)
-        i_new = i + act.astype(jnp.int32)
-        at_end = act * orf(f(i_new.astype(jnp.float32) >= c["sublen"]),
-                           1.0 - s_sub)
+        if "front" in ablate:
+            pos_e, mom_e, grad_e = p1, m1, g1
+        else:
+            pos_e = seld(act, p1, c["pos_e"])
+            mom_e = seld(act, m1, c["mom_e"])
+            grad_e = seld(act, g1, c["grad_e"])
+        act_i = (act > 0.5).astype(jnp.int32)  # bool->i32 cast is supported
+        i_new_f = c["i_f"] + act
+        i_new_int = i + act_i
+        # subtree length 2^j carried as f32 and doubled at boundaries
+        # (vector shifts and numeric i32<->f32 [B,1] casts both trip Mosaic)
+        at_end = act * orf(f(i_new_f >= c["sublen"]), 1.0 - s_sub)
 
         minus = f(c["v"] < 0.0)
         upd_m = at_end * minus
         upd_p = at_end * (1.0 - minus)
-        pos_m = seld(upd_m, pos_e, c["pos_m"])
-        mom_m = seld(upd_m, mom_e, c["mom_m"])
-        grad_m = seld(upd_m, grad_e, c["grad_m"])
-        pos_p = seld(upd_p, pos_e, c["pos_p"])
-        mom_p = seld(upd_p, mom_e, c["mom_p"])
-        grad_p = seld(upd_p, grad_e, c["grad_p"])
+        if "edges" in ablate:
+            pos_m, mom_m, grad_m = c["pos_m"], c["mom_m"], c["grad_m"]
+            pos_p, mom_p, grad_p = c["pos_p"], c["mom_p"], c["grad_p"]
+        else:
+            pos_m = seld(upd_m, pos_e, c["pos_m"])
+            mom_m = seld(upd_m, mom_e, c["mom_m"])
+            grad_m = seld(upd_m, grad_e, c["grad_m"])
+            pos_p = seld(upd_p, pos_e, c["pos_p"])
+            mom_p = seld(upd_p, mom_e, c["mom_p"])
+            grad_p = seld(upd_p, grad_e, c["grad_p"])
 
         # across-doubling swap w.p. min(1, n_sub / n)
         take_outer = at_end * s_sub * f(u_swap * c["n"] < n_sub)
-        prop = seld(take_outer, sprop, c["prop"])
-        prop_lp = sel1(take_outer, sprop_lp, c["prop_lp"])
-        prop_g = seld(take_outer, sprop_g, c["prop_g"])
+        if "prop" in ablate:
+            prop, prop_lp, prop_g = c["prop"], c["prop_lp"], c["prop_g"]
+        else:
+            prop = seld(take_outer, sprop, c["prop"])
+            prop_lp = sel1(take_outer, sprop_lp, c["prop_lp"])
+            prop_g = seld(take_outer, sprop_g, c["prop_g"])
         n = c["n"] + at_end * n_sub
 
         # global U-turn across the full trajectory
-        diff_dot_m = jnp.sum((pos_p - pos_m) * (inv * mom_m), axis=1, keepdims=True)
-        diff_dot_p = jnp.sum((pos_p - pos_m) * (inv * mom_p), axis=1, keepdims=True)
-        glob_ok = f(diff_dot_m >= 0.0) * f(diff_dot_p >= 0.0)
-        s_next = s_sub * glob_ok
+        if "glob" in ablate:
+            s_next = s_sub
+        else:
+            diff_dot_m = rsum((pos_p - pos_m) * (inv * mom_m))
+            diff_dot_p = rsum((pos_p - pos_m) * (inv * mom_p))
+            glob_ok = f(diff_dot_m >= 0.0) * f(diff_dot_p >= 0.0)
+            s_next = s_sub * glob_ok
 
-        alpha_out = sel1(at_end, alpha_sub, c["alpha_out"])
-        nalpha_out = sel1(at_end, nalpha_sub, c["nalpha_out"])
-        j_new = c["j"] + at_end.astype(jnp.int32)
-        depth_capped = f(j_new.astype(jnp.float32) >= float(max_depth))
-        done = orf(c["done"], at_end * orf(1.0 - s_next, depth_capped))
+        if "sout" in ablate:
+            alpha_out, nalpha_out = c["alpha_out"], c["nalpha_out"]
+        else:
+            alpha_out = sel1(at_end, alpha_sub, c["alpha_out"])
+            nalpha_out = sel1(at_end, nalpha_sub, c["nalpha_out"])
+        if "sdone" in ablate:
+            j_new = c["j"]
+            done = orf(c["done"], f(leapfrogs >= 12.0))
+        else:
+            j_new = c["j"] + at_end
+            depth_capped = f(j_new >= float(max_depth))
+            done = orf(c["done"], at_end * orf(1.0 - s_next, depth_capped))
 
         # next subtree: fresh direction, frontier jumps to the chosen edge
         cont = at_end * (1.0 - done)
         new_v = 1.0 - 2.0 * f(u_dir < 0.5)
-        v = c["v"] + cont * (new_v - c["v"])
+        if "sv" in ablate:
+            v = c["v"]
+        else:
+            v = c["v"] + cont * (new_v - c["v"])
         new_minus = cont * f(v < 0.0)
         new_plus = cont * f(v >= 0.0)
-        pos_e = seld(new_minus, pos_m, seld(new_plus, pos_p, pos_e))
-        mom_e = seld(new_minus, mom_m, seld(new_plus, mom_p, mom_e))
-        grad_e = seld(new_minus, grad_m, seld(new_plus, grad_p, grad_e))
+        if "frontjump" not in ablate:
+            pos_e = seld(new_minus, pos_m, seld(new_plus, pos_p, pos_e))
+            mom_e = seld(new_minus, mom_m, seld(new_plus, mom_p, mom_e))
+            grad_e = seld(new_minus, grad_m, seld(new_plus, grad_p, grad_e))
 
         return dict(
             pos_e=pos_e, mom_e=mom_e, grad_e=grad_e,
@@ -293,18 +346,24 @@ def _nuts_kernel(
             prop=prop, prop_lp=prop_lp, prop_g=prop_g,
             sprop=sprop, sprop_lp=sprop_lp, sprop_g=sprop_g,
             v=v,
-            i=i_new - at_end.astype(jnp.int32) * i_new,
+            i_f=i_new_f if "siend" in ablate
+            else i_new_f * (1.0 - at_end),
+            i_int=i_new_int if "siend" in ablate
+            else i_new_int * (1 - (at_end > 0.5).astype(jnp.int32)),
             j=j_new,
-            n=n,
-            n_sub=n_sub * (1.0 - at_end),
-            alpha_sub=alpha_sub * (1.0 - at_end),
-            nalpha_sub=nalpha_sub * (1.0 - at_end),
+            n=c["n"] if "siend" in ablate else n,
+            n_sub=n_sub if "siend" in ablate else n_sub * (1.0 - at_end),
+            alpha_sub=alpha_sub if "siend" in ablate
+            else alpha_sub * (1.0 - at_end),
+            nalpha_sub=nalpha_sub if "siend" in ablate
+            else nalpha_sub * (1.0 - at_end),
             alpha_out=alpha_out,
             nalpha_out=nalpha_out,
             diverged=orf(c["diverged"], act * (1.0 - leaf_ok)),
             leapfrogs=leapfrogs,
             done=done,
-            sublen=c["sublen"] * (1.0 + at_end),
+            sublen=c["sublen"] if "siend" in ablate
+            else c["sublen"] * (1.0 + at_end),
             pos_ck=pos_ck,
             vel_ck=vel_ck,
             c1_ck=c1_ck,
@@ -318,7 +377,7 @@ def _nuts_kernel(
     out_alpha[:] = final["alpha_out"]
     out_nalpha[:] = final["nalpha_out"].astype(jnp.int32)
     out_lf[:] = final["leapfrogs"].astype(jnp.int32)
-    out_depth[:] = final["j"]
+    out_depth[:] = final["j"].astype(jnp.int32)
     out_div[:] = final["diverged"].astype(jnp.int32)
 
 
@@ -332,7 +391,7 @@ def pallas_nuts_step(
     mass_scale,
     seed,
     max_depth: int = 10,
-    block_chains: int = 256,
+    block_chains: int = 64,
     interpret: bool = False,
 ):
     """One NUTS transition for all chains via the fused kernel.
@@ -360,11 +419,16 @@ def pallas_nuts_step(
         lpv, g = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, list(cs), x)
         return lpv, g
 
+    import os as _os
+
     kernel = functools.partial(
         _nuts_kernel,
         closed_vg=closed_vg,
         const_shapes=const_shapes,
         max_depth=int(max_depth),
+        ablate=frozenset(
+            x for x in _os.environ.get("GMT_NUTS_ABL", "").split(",") if x
+        ),
     )
 
     blk = lambda width: pl.BlockSpec(
