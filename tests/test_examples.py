@@ -96,3 +96,14 @@ def test_sharded_nuts_example():
 
     sample = sharded_nuts.main(n_chains=64, dim=8, n_collect=30, n_warmup=80)
     assert sample.shape[0] == 64
+
+
+def test_funnel_nuts(_example_out):
+    import funnel_nuts
+
+    div_coarse, div_adapted, path = funnel_nuts.main(
+        n_chains=16, dim=6, n_collect=120, n_warmup=200
+    )
+    assert os.path.exists(path)
+    assert div_coarse > div_adapted  # adaptation reduces divergences
+    assert div_coarse > 0
