@@ -72,3 +72,35 @@ def test_nuts_resume_continues_post_warmup(tmp_path):
     np.testing.assert_allclose(
         np.asarray(fresh.adapted_step_size), eps_before, atol=1e-7
     )
+
+
+def test_gibbs_and_mala_resume_exactness(tmp_path):
+    """resume == uninterrupted for every scan-based sampler."""
+    import jax
+
+    from general_mcmc_tpu import GaussianND, GibbsSampler
+    from general_mcmc_tpu.samplers.mala import MALA
+
+    def cond(key, i, state):
+        return 0.5 * state[jnp.maximum(i - 1, 0)] + jax.random.normal(
+            key, (), state.dtype
+        )
+
+    g_full = GibbsSampler(cond, jnp.zeros((3, 4))).set_seed(6)
+    ref = np.asarray(g_full.run(30, 0))
+    g_part = GibbsSampler(cond, jnp.zeros((3, 4))).set_seed(6)
+    g_part.run(18, 0)
+    p = str(tmp_path / "g.npz")
+    g_part.save_checkpoint(p)
+    rest = np.asarray(GibbsSampler(cond, jnp.zeros((3, 4))).set_seed(6).resume(p, 12))
+    np.testing.assert_allclose(rest, ref[:, 18:], atol=1e-12)
+
+    target = GaussianND(mean=jnp.zeros(2), cov=jnp.ones(2))
+    m_full = MALA(target, init_det(3, 2), 0.5).set_seed(6)
+    ref = np.asarray(m_full.run(30, 0))
+    m_part = MALA(target, init_det(3, 2), 0.5).set_seed(6)
+    m_part.run(18, 0)
+    p = str(tmp_path / "m.npz")
+    m_part.save_checkpoint(p)
+    rest = np.asarray(MALA(target, init_det(3, 2), 0.5).set_seed(6).resume(p, 12))
+    np.testing.assert_allclose(rest, ref[:, 18:], atol=1e-10)
