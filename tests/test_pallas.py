@@ -159,3 +159,49 @@ def test_mh_pallas_80m_stress():
         np.cov(flat.T), [[4.0, 2.0], [2.0, 3.0]], atol=0.1
     )
     print(f"80M samples in {wall:.1f}s = {80e6/wall:.3g} samples/s")
+
+
+def test_pallas_nuts2_interpret_structure():
+    from general_mcmc_tpu.ops.pallas_nuts2 import pallas_nuts2_step
+
+    t = _target()
+    pos = init_det(8, 2).astype(jnp.float32)
+    lp, grad = jax.vmap(jax.value_and_grad(t.unnorm_logp))(pos)
+    out = pallas_nuts2_step(
+        t.unnorm_logp, pos, lp.astype(jnp.float32), grad.astype(jnp.float32),
+        jnp.full((8,), 0.3, jnp.float32), jnp.ones((8, 2), jnp.float32),
+        jnp.ones((8, 2), jnp.float32), seed=0, max_depth=5, interpret=True,
+    )
+    assert out[0].shape == (8, 2)
+    assert np.isfinite(np.asarray(out[0])).all()
+    assert np.all(np.asarray(out[4]) >= 1)  # n_alpha
+    assert np.all(np.asarray(out[6]) >= 1)  # depth
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
+def test_pallas_nuts2_tpu_moments():
+    from general_mcmc_tpu.ops.pallas_nuts2 import pallas_nuts2_step
+    from general_mcmc_tpu import GaussianND
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.array([1.0, 3.0], jnp.float32))
+    N = 512
+    pos = init_det(N, 2).astype(jnp.float32)
+    lp, grad = jax.vmap(jax.value_and_grad(t.unnorm_logp))(pos)
+
+    @jax.jit
+    def many(pos, lp, grad):
+        def body(carry, s):
+            p, l, g = carry
+            p, l, g, *_ = pallas_nuts2_step(
+                t.unnorm_logp, p, l, g, jnp.full((N,), 0.5, jnp.float32),
+                jnp.ones((N, 2), jnp.float32), jnp.ones((N, 2), jnp.float32),
+                seed=s, max_depth=6, block_chains=256,
+            )
+            return (p, l, g), p
+        _, xs = jax.lax.scan(body, (pos, lp, grad), jnp.arange(600, dtype=jnp.int32))
+        return xs
+
+    xs = many(pos, lp.astype(jnp.float32), grad.astype(jnp.float32))
+    flat = np.asarray(xs[200:]).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.1)
+    np.testing.assert_allclose(flat.std(axis=0), [1.0, 3.0], rtol=0.1)
