@@ -57,6 +57,11 @@ def build_sampler():
         target_accept_p=0.8,
         mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
         max_tree_depth=MAX_TREE_DEPTH,
+        # Pre-adaptation trees hit the depth cap and every chain pays the
+        # batch max under vmap; capping warmup depth bounds that waste
+        # without touching sampling quality (min-ESS and R-hat identical
+        # at caps 8/6/5/4 — see docs/BENCH_HISTORY.md).
+        warmup_tree_depth=4,
         seed=SEED,
     )
 

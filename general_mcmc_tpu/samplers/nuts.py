@@ -151,6 +151,11 @@ class NUTS(BatchSampler):
     backend : ``"xla"`` (vmapped while_loop tree) or ``"pallas"`` (fused
         VMEM-resident kernel, :mod:`..ops.pallas_nuts`; TPU only,
         identity/diagonal mass, hardware-PRNG stream).
+    warmup_tree_depth : optional smaller doubling cap used during warmup
+        only.  Pre-adaptation metrics make early trees hit the depth cap,
+        and under vmap every chain pays the deepest tree in the batch; a
+        shallower warmup cap bounds that masked-lane waste without touching
+        post-warmup sampling.  Default: same as ``max_tree_depth``.
     """
 
     def __init__(
@@ -163,6 +168,7 @@ class NUTS(BatchSampler):
         step_size: float | None = None,
         mass_config: NUTSMassMatrixConfig | None = None,
         backend: str = "xla",
+        warmup_tree_depth: int | None = None,
     ):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
@@ -171,6 +177,9 @@ class NUTS(BatchSampler):
         self.dim = self.initial_positions.shape[1]
         self.target_accept_p = float(target_accept_p)
         self.max_tree_depth = int(max_tree_depth)
+        self.warmup_tree_depth = int(
+            warmup_tree_depth if warmup_tree_depth is not None else max_tree_depth
+        )
         self.step_size = step_size
         cfg = mass_config if mass_config is not None else NUTSMassMatrixConfig.disabled()
         # Dense adaptation falls back to diagonal above dense_max_dim
@@ -291,15 +300,27 @@ class NUTS(BatchSampler):
             )
         else:
             keys = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
-            tree = jax.vmap(
-                lambda k, p, lp, g, e, mass: nuts_tree_step(
-                    k, p, lp, g, e, mass, self._dense, self._vg,
-                    self.max_tree_depth,
+
+            def run_tree(depth):
+                def go(k, p, lp, g, e, mass):
+                    return nuts_tree_step(
+                        k, p, lp, g, e, mass, self._dense, self._vg, depth
+                    )
+
+                return jax.vmap(go)(
+                    keys, carry["pos"], carry["lp"], carry["grad"],
+                    carry["eps"], carry["mass"],
                 )
-            )(
-                keys, carry["pos"], carry["lp"], carry["grad"], carry["eps"],
-                carry["mass"],
-            )
+
+            if self.warmup_tree_depth != self.max_tree_depth:
+                # scalar phase switch: only one branch executes per step
+                tree = jax.lax.cond(
+                    m < self._n_discard,
+                    lambda: run_tree(self.warmup_tree_depth),
+                    lambda: run_tree(self.max_tree_depth),
+                )
+            else:
+                tree = run_tree(self.max_tree_depth)
 
         # Dual averaging (generic_nuts.rs:882-895).
         eta = 1.0 / (m1 + _T0)

@@ -237,3 +237,16 @@ def test_nuts_funnel_divergences():
     ).set_seed(3)
     sampler.run(150, 0)
     assert int(jnp.sum(sampler.divergences)) > 0
+
+
+def test_nuts_warmup_tree_depth_knob():
+    """Shallower warmup cap must not change post-warmup sampling quality."""
+    target = _gauss_target()
+    sampler = NUTS(
+        target, init_det(4, 2), 0.8, warmup_tree_depth=4, max_tree_depth=10
+    ).set_seed(42)
+    sample = sampler.run(800, 400)
+    rhat, ess = split_rhat_mean_ess(sample)
+    assert float(jnp.max(rhat)) < 1.05
+    flat = np.asarray(sample).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.3)
