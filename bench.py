@@ -27,11 +27,13 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-N_CHAINS = 10_240
-DIM = 100
-N_COLLECT = 1024
-N_WARMUP = 384
-MAX_TREE_DEPTH = 8
+# Workload constants; GMT_BENCH_* env overrides exist for experiments only
+# (the driver's invocation uses the defaults).
+N_CHAINS = int(os.environ.get("GMT_BENCH_CHAINS", 10_240))
+DIM = int(os.environ.get("GMT_BENCH_DIM", 100))
+N_COLLECT = int(os.environ.get("GMT_BENCH_COLLECT", 1024))
+N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 384))
+MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 8))
 SEED = 0
 
 # Estimated Rust-reference multithreaded min-ESS/sec on this workload (see

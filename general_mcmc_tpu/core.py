@@ -31,6 +31,7 @@ __all__ = [
     "init_with_seed",
     "run_kernel",
     "run_kernel_progress",
+    "run_kernel_progress_stream",
     "KernelRun",
 ]
 
@@ -139,4 +140,105 @@ def run_kernel_progress(
             keep = min(n, done - n_discard)
             blocks.append(states[n - keep :])
     samples = jnp.concatenate(blocks, axis=0) if blocks else jnp.zeros((0,))
+    return KernelRun(carry, samples)
+
+
+def run_kernel_progress_stream(
+    step_fn,
+    carry,
+    n_collect: int,
+    n_discard: int,
+    hook: Callable[[int, float, float], None],
+    stride: int = 64,
+) -> KernelRun:
+    """Progress without leaving jit: the whole run is ONE compiled program
+    (vs :func:`run_kernel_progress`'s per-chunk jit re-entry, which pays a
+    fresh compile at every distinct remainder-chunk length).  A streaming
+    :class:`~..diagnostics.stats.MultiChainTracker` state rides in the scan
+    carry, and every ``stride`` steps an ordered ``io_callback`` emits three
+    scalars — ``hook(steps_done, max_rhat, p_accept)`` — so the host sees
+    O(1) bytes per tick instead of the state block.  This is the closest
+    analog of the reference's 1 Hz mpsc ``ChainStats`` messages
+    (core.rs:151-175): sufficient statistics leave the device, samples never
+    do.
+
+    Collected samples stay on device ([n_collect, n_chains, dim], steps
+    major), unlike the chunked path which stages every state block through
+    host memory.
+    """
+    from jax.experimental import io_callback
+
+    from .diagnostics.stats import _TrackerState, _multi_update, _multi_within_and_var
+
+    def emit(done, tstate):
+        within, var = _multi_within_and_var(tstate)
+        rhat = jnp.sqrt(var / within)
+        max_rhat = jnp.max(jnp.where(jnp.isfinite(rhat), rhat, -jnp.inf))
+        io_callback(
+            hook,
+            None,
+            done,
+            max_rhat.astype(jnp.float32),
+            tstate.p_accept.astype(jnp.float32),
+            ordered=True,
+        )
+
+    def phase(aug, start: int, n: int, collect: bool):
+        """Scan ``n`` steps from absolute index ``start`` in stride-sized
+        chunks, emitting progress after each chunk (+ remainder)."""
+
+        def chunk(aug, chunk_start):
+            def inner(aug, m):
+                c, ts = aug
+                c = step_fn(c, m)
+                x = step_fn.extract(c)
+                ts = _multi_update(ts, x)
+                return (c, ts), (x if collect else None)
+
+            aug, ys = jax.lax.scan(
+                inner, aug, chunk_start + jnp.arange(stride)
+            )
+            emit(chunk_start + stride, aug[1])
+            return aug, ys
+
+        n_main, rem = divmod(n, stride)
+        ys = None
+        if n_main:
+            starts = start + stride * jnp.arange(n_main)
+            aug, ys = jax.lax.scan(chunk, aug, starts)
+            if collect:
+                ys = ys.reshape((n_main * stride,) + ys.shape[2:])
+        if rem:
+            def inner(aug, m):
+                c, ts = aug
+                c = step_fn(c, m)
+                x = step_fn.extract(c)
+                ts = _multi_update(ts, x)
+                return (c, ts), (x if collect else None)
+
+            aug, ys_rem = jax.lax.scan(
+                inner, aug, start + n_main * stride + jnp.arange(rem)
+            )
+            emit(start + n, aug[1])
+            if collect:
+                ys = ys_rem if ys is None else jnp.concatenate([ys, ys_rem])
+        return aug, ys
+
+    @jax.jit
+    def run(carry):
+        x0 = step_fn.extract(carry)
+        tstate = _TrackerState(
+            n=jnp.zeros((), jnp.int32),
+            p_accept=jnp.asarray(-1.0, x0.dtype),
+            last_state=x0,
+            mean=jnp.zeros_like(x0),
+            mean_sq=jnp.zeros_like(x0),
+        )
+        aug = (carry, tstate)
+        if n_discard:
+            aug, _ = phase(aug, 0, n_discard, collect=False)
+        aug, samples = phase(aug, n_discard, n_collect, collect=True)
+        return aug[0], samples
+
+    carry, samples = run(carry)
     return KernelRun(carry, samples)

@@ -235,7 +235,10 @@ def _splitcat(sample: jax.Array) -> jax.Array:
 def _withinvar(sample: jax.Array):
     """Per-parameter within-chain variance W and pooled variance estimate V̂
     (stats.rs:456-504).  ``sample`` is (chains, steps, params)."""
-    n = sample.shape[1]
+    # Degenerate step counts (a split 1-step sample has n=0) yield NaN, like
+    # the reference's f64 division-by-zero (stats.rs:456-504), rather than a
+    # Python ZeroDivisionError from the static-shape arithmetic below.
+    n = sample.shape[1] or float("nan")
     c = sample.shape[0]
     chain_means = jnp.mean(sample, axis=1)  # (c, p)
     overall = jnp.mean(chain_means, axis=0)  # (p,)

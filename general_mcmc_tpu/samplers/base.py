@@ -19,7 +19,7 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 
-from ..core import run_kernel, run_kernel_progress
+from ..core import run_kernel, run_kernel_progress, run_kernel_progress_stream
 from ..diagnostics.stats import MultiChainTracker, RunStats
 from ..rng import as_key, chain_keys
 from ..utils.progress import ProgressRenderer
@@ -36,6 +36,16 @@ class _StepFn:
 
     def __call__(self, carry, m):
         return self._step(carry, m)
+
+
+class _LatestStats:
+    """Renderer-facing view of the last streamed (max_rhat, p_accept) pair."""
+
+    p_accept = float("nan")
+    _max_rhat = float("nan")
+
+    def max_rhat(self) -> float:
+        return self._max_rhat
 
 
 class BatchSampler:
@@ -115,27 +125,52 @@ class BatchSampler:
         self._steps_done = offset + n_collect
         return jnp.swapaxes(out.samples, 0, 1)
 
-    def run_progress(self, n_collect: int, n_discard: int = 0, progress: bool = True):
+    def run_progress(self, n_collect: int, n_discard: int = 0, progress: bool = True,
+                     mode: str = "chunked"):
         """Like :meth:`run` but with live progress + streaming R-hat
         (ChainRunner::run_progress, core.rs:251-403).  Returns
-        ``(samples, RunStats)``."""
+        ``(samples, RunStats)``.
+
+        ``mode="chunked"`` re-enters jit per chunk and streams state blocks
+        through a host-side tracker; ``mode="stream"`` compiles the whole
+        run once and emits only (steps, max-R-hat, p-accept) scalars from
+        inside the scan via ``io_callback`` — samples never stage through
+        host memory, so it is the right mode for large runs or exotic run
+        lengths where per-chunk recompiles hurt.
+        """
         self._prepare_run(n_collect, n_discard)
         carry = self._init_carry()
         dim = self._positions(carry).shape[-1]
         total = n_discard + n_collect
-        tracker = MultiChainTracker(self.n_chains, dim)
         renderer = (
             ProgressRenderer(self.n_chains, total) if progress else None
         )
 
-        def callback(done, states):
-            tracker.step_batch(states)
-            if renderer is not None:
-                renderer.update(done, tracker)
+        if mode == "stream":
+            stats = _LatestStats()
 
-        out = run_kernel_progress(
-            self._step_fn, carry, n_collect, n_discard, callback
-        )
+            def hook(done, max_rhat, p_accept):
+                stats.p_accept = float(p_accept)
+                stats._max_rhat = float(max_rhat)
+                if renderer is not None:
+                    renderer.update(int(done), stats)
+
+            out = run_kernel_progress_stream(
+                self._step_fn, carry, n_collect, n_discard, hook
+            )
+        elif mode == "chunked":
+            tracker = MultiChainTracker(self.n_chains, dim)
+
+            def callback(done, states):
+                tracker.step_batch(states)
+                if renderer is not None:
+                    renderer.update(done, tracker)
+
+            out = run_kernel_progress(
+                self._step_fn, carry, n_collect, n_discard, callback
+            )
+        else:
+            raise ValueError(f"unknown progress mode {mode!r}")
         if renderer is not None:
             renderer.close()
         self._final_carry = out.carry

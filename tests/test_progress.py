@@ -44,3 +44,58 @@ def test_run_progress_renders(capsys):
     err = capsys.readouterr().err
     assert "Global" in err
     assert sample.shape == (2, 50, 2)
+
+
+def _mh(n_chains=4):
+    target = Gaussian2D(mean=jnp.zeros(2), cov=jnp.eye(2))
+    return MetropolisHastings(target, IsotropicGaussian(1.0), init_det(n_chains, 2))
+
+
+def test_stream_mode_matches_run_exactly():
+    """The io_callback path must not perturb the sampling stream: identical
+    samples to a plain run, including a non-multiple-of-stride tail."""
+    import numpy as np
+
+    ref = np.asarray(_mh().seed(7).run(75, 33))
+    sample, stats = _mh().seed(7).run_progress(75, 33, progress=False, mode="stream")
+    np.testing.assert_array_equal(np.asarray(sample), ref)
+
+
+def test_stream_mode_hook_cadence_and_values(capsys):
+    """Ticks arrive in order at the stride cadence with finite stats."""
+    from general_mcmc_tpu.core import run_kernel_progress_stream
+
+    mh = _mh().seed(2)
+    mh._prepare_run(100, 60)
+    ticks = []
+    out = run_kernel_progress_stream(
+        mh._step_fn, mh._init_carry(), 100, 60,
+        lambda done, rhat, pacc: ticks.append(
+            (int(done), float(rhat), float(pacc))
+        ),
+        stride=64,
+    )
+    assert out.samples.shape == (100, 4, 2)
+    # burn phase (60 steps) emits at its boundary; collect phase chunks at
+    # the stride with a remainder tick at the end of the run
+    assert [t[0] for t in ticks] == [60, 124, 160]
+    last = ticks[-1]
+    assert 0.5 < last[1] < 3.0  # plausible R-hat
+    assert 0.0 <= last[2] <= 1.0  # acceptance in [0, 1]
+
+
+def test_single_step_runstats_nan_not_crash():
+    """A 1-step collection yields NaN diagnostics (the reference's f64
+    division-by-zero semantics, stats.rs:456-504), not ZeroDivisionError."""
+    import numpy as np
+
+    sample, stats = _mh().seed(1).run_progress(1, 3, progress=False, mode="stream")
+    assert sample.shape == (4, 1, 2)
+    assert np.isnan(stats.rhat.mean)  # BasicStats over all-NaN R-hats
+
+
+def test_stream_mode_renders(capsys):
+    sample, stats = _mh(2).seed(1).run_progress(50, 10, progress=True, mode="stream")
+    err = capsys.readouterr().err
+    assert "Global" in err and "max(rhat)" in err
+    assert sample.shape == (2, 50, 2)
