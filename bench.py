@@ -138,11 +138,13 @@ def main():
 
 
 if __name__ == "__main__":
-    # The TPU tunnel occasionally faults transiently (UNAVAILABLE); one
-    # retry keeps the driver's single bench invocation robust.
+    # The TPU tunnel occasionally faults transiently (UNAVAILABLE), both as
+    # a JaxRuntimeError mid-run and as a plain RuntimeError at backend
+    # init (e.g. when another process briefly held the single-client
+    # tunnel); one retry keeps the driver's single bench invocation robust.
     try:
         main()
-    except jax.errors.JaxRuntimeError as e:
+    except (jax.errors.JaxRuntimeError, RuntimeError) as e:
         print(f"transient TPU error, retrying once: {e}", file=sys.stderr)
-        time.sleep(20)
+        time.sleep(30)
         main()

@@ -29,6 +29,7 @@ from .samplers.hmc import HMC
 from .samplers.mala import MALA
 from .samplers.metropolis_hastings import (
     DiscreteWalkProposal,
+    PCNProposal,
     MetropolisHastings,
     RandomWalkProposal,
 )

@@ -41,21 +41,74 @@ __all__ = ["fused_hmc_run"]
 
 _TWO_PI = 6.283185307179586
 
+# Interpret-mode PRNG fallback.  Pallas interpret mode does not model the
+# TPU hardware PRNG — ``pltpu.prng_random_bits`` returns a *constant* block
+# — which silently degenerates any interpret-mode sampling run.  When a
+# kernel seeds via :func:`seed_prng` with ``interpret=True``, draws instead
+# come from a stateless murmur3-style hash of (lane/sublane position, a
+# trace-time draw counter, the runtime seed, and an optional runtime salt
+# for draws inside on-device loops).  Hardware runs are unaffected: they use
+# the real PRNG.  The fallback makes interpret-mode tests *statistically*
+# meaningful, not just shape-correct.
+_FALLBACK: list | None = None
 
-def _uniform_01(shape):
+# murmur3 fmix32 constants as wrapped int32 (Mosaic has no uint32 math)
+_M1 = 0x85EBCA6B - (1 << 32)
+_M2 = 0xC2B2AE35 - (1 << 32)
+_GOLD = 0x9E3779B9 - (1 << 32)
+
+
+def seed_prng(seed, interpret: bool) -> None:
+    """Seed this kernel invocation's PRNG stream (call once at kernel top)."""
+    global _FALLBACK
+    if interpret:
+        _FALLBACK = [jnp.asarray(seed, jnp.int32), 0]
+    else:
+        _FALLBACK = None
+        pltpu.prng_seed(seed)
+
+
+def _fmix(x):
+    x = x ^ jax.lax.shift_right_logical(x, jnp.int32(16))
+    x = x * jnp.int32(_M1)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.int32(13))
+    x = x * jnp.int32(_M2)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.int32(16))
+    return x
+
+
+def _bits(shape, salt):
+    if _FALLBACK is None:
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    base, n = _FALLBACK
+    _FALLBACK[1] = n + 1
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    for ax in range(len(shape) - 1):
+        idx = idx + (jax.lax.broadcasted_iota(jnp.int32, shape, ax) + 1) * jnp.int32(
+            7919 * (ax + 1)
+        )
+    x = idx * jnp.int32(_GOLD) + base * jnp.int32(_M2) + jnp.int32(n + 1)
+    if salt is not None:
+        x = x + (jnp.asarray(salt, jnp.int32) + 1) * jnp.int32(_M1)
+    return _fmix(_fmix(x))
+
+
+def _uniform_01(shape, salt=None):
     """Uniform in (0, 1) from raw PRNG bits: 24 mantissa bits, offset to
-    avoid exact 0 (log-safe)."""
-    bits = pltpu.prng_random_bits(shape)
+    avoid exact 0 (log-safe).  ``salt`` (int32 scalar or array broadcastable
+    to ``shape``) must be supplied for draws inside on-device loops so the
+    interpret-mode fallback advances across iterations."""
+    bits = _bits(shape, salt)
     # int32 route: Mosaic has no uint32->f32 cast; a logical shift keeps the
     # top 24 bits non-negative in int32.
-    u24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), jnp.int32(8))
+    u24 = jax.lax.shift_right_logical(bits, jnp.int32(8))
     return u24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
 
 
-def _standard_normal(shape):
+def _standard_normal(shape, salt=None):
     """Box–Muller from two uniform draws."""
-    u1 = _uniform_01(shape)
-    u2 = _uniform_01(shape)
+    u1 = _uniform_01(shape, salt)
+    u2 = _uniform_01(shape, salt)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(jnp.float32(_TWO_PI) * u2)
 
@@ -69,6 +122,7 @@ def _hmc_kernel(
     n_leapfrog: int,
     n_discard: int,
     seed: int,
+    interpret: bool,
 ):
     n_consts = len(const_shapes)
     const_refs = refs[:n_consts]
@@ -85,7 +139,7 @@ def _hmc_kernel(
     b = pl.program_id(0)
     t = pl.program_id(1)
     # deterministic, distinct stream per (chain-block, step)
-    pltpu.prng_seed(seed + b * pl.num_programs(1) + t)
+    seed_prng(seed + b * pl.num_programs(1) + t, interpret)
 
     @pl.when(t == 0)
     def _init():
@@ -185,6 +239,7 @@ def fused_hmc_run(
         n_leapfrog=int(n_leapfrog),
         n_discard=int(n_discard),
         seed=int(seed),
+        interpret=bool(interpret),
     )
 
     full_vmem = lambda a: pl.BlockSpec(

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for random-walk Metropolis–Hastings.
+"""Fused Pallas TPU kernel for Metropolis–Hastings.
 
 The reference's MH throughput ceiling is its serial per-chain hot loop
 (run_chain, core.rs:95-115; the 80M-sample stress test,
@@ -9,15 +9,20 @@ the target is traced inline, and proposals/accept draws come from the
 hardware PRNG.  Per-step HBM traffic is exactly one collected-sample block
 write.
 
-Scope: symmetric Gaussian random-walk proposals (RandomWalkProposal /
-IsotropicGaussian — the q-ratio cancels, metropolis_hastings.rs:312 reduces
-to Δlogp); asymmetric or discrete proposals use the XLA scan path.
+Proposals: the default is the symmetric Gaussian random walk (the q-ratio
+cancels, metropolis_hastings.rs:312 reduces to Δlogp).  Asymmetric
+continuous proposals are supported through the reparameterization pair
+``propose(x, z) -> y`` (deterministic given a standard-normal draw ``z``)
+and ``logp(from, to)`` — both are traced and inlined into the kernel
+exactly like the target, so the full Hastings ratio
+``(lp' + q(y,x)) − (lp + q(x,y))`` (metropolis_hastings.rs:312) is computed
+on-core.  Discrete proposals use the XLA scan path.
 
 Layout: all state is kept **transposed** as ``[dim, chains]`` so the lane
 (minor) axis is the chain axis — TPU tiling pads the minor axis to 128, and
 MH targets are typically low-dimensional, so a ``[chains, dim]`` layout
 would waste up to 64× HBM on the collected output (and the per-step output
-block).  The target is traced with ``vmap(in_axes=1)`` to match.
+block).  The target/proposal are traced with ``vmap(in_axes=1)`` to match.
 """
 
 from __future__ import annotations
@@ -30,49 +35,65 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_hmc import _standard_normal, _uniform_01
+from .pallas_hmc import _standard_normal, _uniform_01, seed_prng
 
 __all__ = ["fused_mh_run"]
+
+
+def _inline(fn, *example_args):
+    """Trace ``fn`` to a jaxpr and return (closed_fn, consts) so the
+    computation can be replayed inside a Pallas kernel with its constants
+    passed as kernel inputs."""
+    closed = jax.make_jaxpr(fn)(*example_args)
+    consts = [jnp.atleast_2d(jnp.asarray(c)) for c in closed.consts]
+    shapes = tuple(jnp.shape(c) for c in closed.consts)
+
+    def run(cs, *args):
+        vals = [
+            r[:].reshape(shape) if shape else r[0, 0]
+            for r, shape in zip(cs, shapes)
+        ]
+        return jax.core.eval_jaxpr(closed.jaxpr, vals, *args)
+
+    return run, consts
 
 
 def _mh_kernel(
     x0_ref,
     *refs,
     closed_lp: Callable,
-    const_shapes,
-    scale: float,
+    closed_step: Callable,
+    n_lp_consts: int,
+    n_step_consts: int,
     n_discard: int,
     seed: int,
+    interpret: bool,
 ):
-    n_consts = len(const_shapes)
-    const_refs = refs[:n_consts]
-    out_ref, pos_ref, lp_ref = refs[n_consts:]
-    consts = [
-        r[:].reshape(shape) if shape else r[0, 0]
-        for r, shape in zip(const_refs, const_shapes)
-    ]
-
-    def lp_fn(x_dB):
-        (lp,) = closed_lp(x_dB, *consts)  # traced with vmap in_axes=1
-        return lp.reshape(1, x_dB.shape[1])
+    lp_consts = refs[:n_lp_consts]
+    step_consts = refs[n_lp_consts : n_lp_consts + n_step_consts]
+    out_ref, pos_ref, lp_ref = refs[n_lp_consts + n_step_consts :]
 
     b = pl.program_id(0)
     t = pl.program_id(1)
-    pltpu.prng_seed(seed + b * pl.num_programs(1) + t)
+    seed_prng(seed + b * pl.num_programs(1) + t, interpret)
 
     @pl.when(t == 0)
     def _init():
         x = x0_ref[:]
         pos_ref[:] = x
-        lp_ref[:] = lp_fn(x)
+        (lp0,) = closed_lp(lp_consts, x)
+        lp_ref[:] = lp0.reshape(1, x.shape[1])
 
     x = pos_ref[:]  # [d, B]
     lp = lp_ref[:]  # [1, B]
 
-    proposed = x + jnp.float32(scale) * _standard_normal(x.shape)
-    lp_prop = lp_fn(proposed)
+    z = _standard_normal(x.shape)
+    proposed, lp_prop, dq = closed_step(step_consts, x, z)
+    lp_prop = lp_prop.reshape(1, x.shape[1])
+    dq = dq.reshape(1, x.shape[1])
     u = _uniform_01((1, x.shape[1]))
-    accept = jnp.log(u) < (lp_prop - lp)  # symmetric proposal: q cancels
+    # log u < (lp' + q_back) − (lp + q_fwd)  (metropolis_hastings.rs:312)
+    accept = jnp.log(u) < (lp_prop - lp + dq)
 
     x = jnp.where(accept, proposed, x)
     lp = jnp.where(accept, lp_prop, lp)
@@ -84,16 +105,20 @@ def _mh_kernel(
 def fused_mh_run(
     logp_fn: Callable,
     initial_positions,
-    scale: float,
+    scale: float | None,
     n_collect: int,
     n_discard: int = 0,
     seed: int = 0,
     block_chains: int = 1024,
     interpret: bool = False,
+    proposal=None,
 ):
-    """Run random-walk MH entirely inside one Pallas kernel.
+    """Run MH entirely inside one Pallas kernel.
 
-    Returns ``[n_chains, n_collect, dim]`` float32 samples.
+    ``scale`` selects the symmetric Gaussian random walk; alternatively pass
+    ``proposal`` with ``propose(x, z)`` (deterministic reparameterized
+    sample) and ``logp(from, to)`` for the general Hastings rule.  Returns
+    ``[n_chains, n_collect, dim]`` float32 samples.
     """
     x0 = jnp.asarray(initial_positions, jnp.float32).T  # [d, n]
     d, n = x0.shape
@@ -106,21 +131,40 @@ def fused_mh_run(
     def lp_batch(x_dB):
         return (jax.vmap(logp_fn, in_axes=1)(x_dB).astype(jnp.float32),)
 
-    closed_jaxpr = jax.make_jaxpr(lp_batch)(jnp.zeros((d, B), jnp.float32))
-    consts = list(closed_jaxpr.consts)
-    const_shapes = tuple(jnp.shape(c) for c in consts)
-    consts_2d = [jnp.atleast_2d(jnp.asarray(c)) for c in consts]
+    if proposal is None:
+        if scale is None:
+            raise ValueError("pass either scale or proposal")
+        propose = lambda x, z: x + jnp.float32(scale) * z
+        symmetric = True
+    else:
+        propose = proposal.propose
+        symmetric = bool(getattr(proposal, "symmetric", False))
 
-    def closed_lp(x, *cs):
-        return jax.core.eval_jaxpr(closed_jaxpr.jaxpr, list(cs), x)
+    def step_batch(x_dB, z_dB):
+        y = jax.vmap(propose, in_axes=(1, 1), out_axes=1)(x_dB, z_dB)
+        (lp,) = lp_batch(y)
+        if symmetric or proposal is None:
+            dq = jnp.zeros_like(lp)
+        else:
+            q = lambda a, b: proposal.logp(a, b).astype(jnp.float32)
+            q_fwd = jax.vmap(q, in_axes=(1, 1))(x_dB, y)
+            q_bwd = jax.vmap(q, in_axes=(1, 1))(y, x_dB)
+            dq = q_bwd - q_fwd
+        return y, lp, dq
+
+    zeros = jnp.zeros((d, B), jnp.float32)
+    closed_lp, lp_consts = _inline(lp_batch, zeros)
+    closed_step, step_consts = _inline(step_batch, zeros, zeros)
 
     kernel = functools.partial(
         _mh_kernel,
         closed_lp=closed_lp,
-        const_shapes=const_shapes,
-        scale=float(scale),
+        closed_step=closed_step,
+        n_lp_consts=len(lp_consts),
+        n_step_consts=len(step_consts),
         n_discard=int(n_discard),
         seed=int(seed),
+        interpret=bool(interpret),
     )
 
     full_vmem = lambda a: pl.BlockSpec(
@@ -132,7 +176,7 @@ def fused_mh_run(
         in_specs=[
             pl.BlockSpec((d, B), lambda b, t: (0, b), memory_space=pltpu.VMEM)
         ]
-        + [full_vmem(c) for c in consts_2d],
+        + [full_vmem(c) for c in lp_consts + step_consts],
         out_specs=pl.BlockSpec(
             (1, d, B),
             lambda b, t: (jnp.maximum(t - n_discard, 0), 0, b),
@@ -144,6 +188,6 @@ def fused_mh_run(
             pltpu.VMEM((1, B), jnp.float32),  # logp
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x0, *consts_2d)
+    )(x0, *lp_consts, *step_consts)
     # [n_collect, d, n] -> [n, n_collect, d]
     return jnp.transpose(out, (2, 0, 1))

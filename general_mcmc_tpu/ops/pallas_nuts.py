@@ -60,18 +60,9 @@ _TWO_PI = 6.283185307179586
 _DELTA_MAX = 1000.0
 
 
-def _uniform_01(shape):
-    bits = pltpu.prng_random_bits(shape)
-    # int32 route: Mosaic has no uint32->f32 cast; a logical shift keeps the
-    # top 24 bits non-negative in int32.
-    u24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), jnp.int32(8))
-    return u24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
-
-
-def _standard_normal(shape):
-    u1 = _uniform_01(shape)
-    u2 = _uniform_01(shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(jnp.float32(_TWO_PI) * u2)
+# Shared kernel PRNG (with the interpret-mode hash fallback documented
+# there); re-exported here for pallas_nuts2.
+from .pallas_hmc import _standard_normal, _uniform_01, seed_prng  # noqa: E402
 
 
 def _popcount_small(x, nbits: int = 12):
@@ -100,6 +91,7 @@ def _nuts_kernel(
     closed_vg: Callable,
     const_shapes,
     max_depth: int,
+    interpret: bool = False,
     ablate: frozenset = frozenset(),  # debug: disable named sections
 ):
     n_consts = len(const_shapes)
@@ -115,7 +107,7 @@ def _nuts_kernel(
         lp, g = closed_vg(x, *consts)
         return lp.reshape(x.shape[0], 1), g
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    seed_prng(seed_ref[0] + pl.program_id(0), interpret)
 
     x = pos_ref[:]
     lp = lp_ref[:]  # [B, 1]
@@ -179,6 +171,7 @@ def _nuts_kernel(
         # casts are fine; casts outside the loop are fine).
         i_f=fzero,
         i_int=izero,
+        rngc=izero,  # monotone draw salt for the interpret-PRNG fallback
         j=fzero,  # doubling counter (f32; cast to i32 after the loop)
         n=fone,
         n_sub=fzero,
@@ -229,9 +222,9 @@ def _nuts_kernel(
         leapfrogs = c["leapfrogs"] + act
         n_sub = c["n_sub"] + leaf_valid
 
-        u_take = _uniform_01((B, 1))
-        u_swap = _uniform_01((B, 1))
-        u_dir = _uniform_01((B, 1))
+        u_take = _uniform_01((B, 1), salt=c["rngc"])
+        u_swap = _uniform_01((B, 1), salt=c["rngc"])
+        u_dir = _uniform_01((B, 1), salt=c["rngc"])
 
         # progressive uniform proposal within the subtree
         i = c["i_int"]
@@ -350,6 +343,7 @@ def _nuts_kernel(
             else i_new_f * (1.0 - at_end),
             i_int=i_new_int if "siend" in ablate
             else i_new_int * (1 - (at_end > 0.5).astype(jnp.int32)),
+            rngc=c["rngc"] + 1,
             j=j_new,
             n=c["n"] if "siend" in ablate else n,
             n_sub=n_sub if "siend" in ablate else n_sub * (1.0 - at_end),
@@ -426,6 +420,7 @@ def pallas_nuts_step(
         closed_vg=closed_vg,
         const_shapes=const_shapes,
         max_depth=int(max_depth),
+        interpret=bool(interpret),
         ablate=frozenset(
             x for x in _os.environ.get("GMT_NUTS_ABL", "").split(",") if x
         ),

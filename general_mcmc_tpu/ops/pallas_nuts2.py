@@ -55,6 +55,7 @@ from .pallas_nuts import (
     _trailing_ones_small,
     _uniform_01,
 )
+from .pallas_hmc import seed_prng
 
 __all__ = ["pallas_nuts2_step"]
 
@@ -82,6 +83,7 @@ def _nuts2_kernel(
     closed_vg: Callable,
     const_shapes,
     max_depth: int,
+    interpret: bool = False,
 ):
     n_consts = len(const_shapes)
     const_refs = refs[:n_consts]
@@ -98,7 +100,7 @@ def _nuts2_kernel(
         lp, g = closed_vg(x, *consts)
         return lp.reshape(x.shape[0], 1), g
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    seed_prng(seed_ref[0] + pl.program_id(0), interpret)
 
     x = pos_ref[:]
     lp0 = lp_ref[:]
@@ -167,7 +169,7 @@ def _nuts2_kernel(
 
     def doubling_body(carry):
         j, _ = carry
-        u_dir = _uniform_01((B, 1))
+        u_dir = _uniform_01((B, 1), salt=j)
         v = 1.0 - 2.0 * f(u_dir < 0.5)
         sc[_V] = v
         minus = f(v < 0.0)
@@ -216,7 +218,7 @@ def _nuts2_kernel(
             n_sub = sc[_NSUB] + leaf_valid
             sc[_NSUB] = n_sub
 
-            u_take = _uniform_01((B, 1))
+            u_take = _uniform_01((B, 1), salt=j * 1048576 + i)
             first = f(i == 0)  # scalar splat
             take = act * orf(first, leaf_valid * f(u_take * n_sub < 1.0))
             st[_SPROP] = seld(take, p1, st[_SPROP])
@@ -268,7 +270,7 @@ def _nuts2_kernel(
         st[_MOM_P] = seld(upd_p, st[_MOM_E], st[_MOM_P])
         st[_GRAD_P] = seld(upd_p, st[_GRAD_E], st[_GRAD_P])
 
-        u_swap = _uniform_01((B, 1))
+        u_swap = _uniform_01((B, 1), salt=j)
         take_outer = at_end * sub_ok * f(u_swap * sc[_N] < sc[_NSUB])
         st[_PROP] = seld(take_outer, st[_SPROP], st[_PROP])
         sc[_PROP_LP] = sel1(take_outer, sc[_SPROP_LP], sc[_PROP_LP])
@@ -344,6 +346,7 @@ def pallas_nuts2_step(
         closed_vg=closed_vg,
         const_shapes=const_shapes,
         max_depth=int(max_depth),
+        interpret=bool(interpret),
     )
 
     blk = lambda width: pl.BlockSpec(

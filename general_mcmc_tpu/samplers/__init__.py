@@ -3,6 +3,7 @@ from .hmc import HMC
 from .mala import MALA
 from .metropolis_hastings import (
     DiscreteWalkProposal,
+    PCNProposal,
     MetropolisHastings,
     RandomWalkProposal,
 )

@@ -20,12 +20,18 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.distributions import as_logp_fn
 from ..rng import step_key
 from .base import BatchSampler
 
-__all__ = ["MetropolisHastings", "RandomWalkProposal", "DiscreteWalkProposal"]
+__all__ = [
+    "MetropolisHastings",
+    "RandomWalkProposal",
+    "DiscreteWalkProposal",
+    "PCNProposal",
+]
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -33,15 +39,54 @@ class RandomWalkProposal:
     """Gaussian random-walk proposal with per-coordinate std ``scale``."""
 
     scale: float = 1.0
+    symmetric = True
+
+    def propose(self, current, z):
+        """Reparameterized sample (``z`` standard normal) — lets the fused
+        Pallas backend draw ``z`` from the hardware PRNG."""
+        return current + self.scale * z
 
     def sample(self, key, current):
-        return current + self.scale * jax.random.normal(
-            key, jnp.shape(current), jnp.asarray(current).dtype
+        return self.propose(
+            current,
+            jax.random.normal(key, jnp.shape(current), jnp.asarray(current).dtype),
         )
 
     def logp(self, from_, to):
         diff = (jnp.asarray(to) - jnp.asarray(from_)) / self.scale
         return -0.5 * jnp.sum(diff * diff)  # symmetric: constant omitted
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PCNProposal:
+    """Preconditioned Crank–Nicolson proposal: ``y = √(1−β²)·x + β·z``.
+
+    The classic dimension-robust proposal for targets dominated by a
+    standard-normal component (Cotter et al. 2013, see PAPERS.md).  It is
+    *asymmetric* — ``q(y|x) ≠ q(x|y)`` — so it exercises the full Hastings
+    ratio (metropolis_hastings.rs:310-312) on both backends; the Gaussian
+    normalization constant is equal in the two directions and omitted.
+    """
+
+    beta: float = 0.5
+    symmetric = False
+
+    @property
+    def _rho(self) -> float:
+        return float(np.sqrt(1.0 - self.beta * self.beta))
+
+    def propose(self, current, z):
+        return self._rho * current + self.beta * z
+
+    def sample(self, key, current):
+        return self.propose(
+            current,
+            jax.random.normal(key, jnp.shape(current), jnp.asarray(current).dtype),
+        )
+
+    def logp(self, from_, to):
+        diff = (jnp.asarray(to) - self._rho * jnp.asarray(from_)) / self.beta
+        return -0.5 * jnp.sum(diff * diff)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -83,12 +128,14 @@ class MetropolisHastings(BatchSampler):
         self.initial_states = jnp.asarray(initial_states)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pallas" and not hasattr(proposal, "scale") and not hasattr(
-            proposal, "std"
+        if backend == "pallas" and not any(
+            hasattr(proposal, a) for a in ("propose", "scale", "std")
         ):
             raise ValueError(
-                "pallas backend supports symmetric Gaussian random-walk "
-                "proposals (RandomWalkProposal / IsotropicGaussian) only"
+                "pallas backend needs a continuous proposal: either a "
+                "Gaussian random walk (.scale/.std) or a reparameterized "
+                "propose(x, z) + logp(from, to) pair; discrete proposals "
+                "use backend='xla'"
             )
         self.backend = backend
         super().__init__(n_chains=self.initial_states.shape[0], seed=seed)
@@ -98,10 +145,14 @@ class MetropolisHastings(BatchSampler):
             # Whole run in one fused kernel (ops/pallas_mh.py).
             from ..ops.pallas_mh import fused_mh_run
 
-            scale = getattr(self.proposal, "scale", None)
-            if scale is None:
-                scale = self.proposal.std
             seed = int(jax.random.key_data(self._key).ravel()[-1]) & 0x7FFFFFFF
+            if hasattr(self.proposal, "propose"):
+                scale, proposal = None, self.proposal
+            else:  # plain Gaussian walk described by a width attribute
+                scale = getattr(self.proposal, "scale", None)
+                if scale is None:
+                    scale = self.proposal.std
+                proposal = None
             samples = fused_mh_run(
                 self.target,
                 self.initial_states,
@@ -109,6 +160,7 @@ class MetropolisHastings(BatchSampler):
                 n_collect,
                 n_discard,
                 seed=seed,
+                proposal=proposal,
             )
             self._steps_done = n_collect + n_discard
             return samples

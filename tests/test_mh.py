@@ -137,3 +137,33 @@ def test_mh_marginals_ks():
         draws = sample[:, ::40, j].ravel()  # thin: MH mixes slowly
         stat, _ = sps.kstest(draws, "norm", args=(0.0, sd))
         assert stat < 0.05, (j, stat)
+
+
+def test_pcn_standard_normal_always_accepts():
+    """For a standard-normal target the pCN Hastings ratio is exactly 1
+    (Cotter et al. 2013) — every proposal is accepted, so consecutive
+    states always differ.  This pins the full asymmetric accept rule
+    (metropolis_hastings.rs:310-312): a symmetric-walk treatment of the
+    same proposal would reject a large fraction."""
+    import numpy as np
+
+    from general_mcmc_tpu import GaussianND, PCNProposal
+
+    target = GaussianND(mean=jnp.zeros(3), cov=jnp.ones(3))
+    mh = MetropolisHastings(target, PCNProposal(0.6), init_det(8, 3)).seed(2)
+    s = np.asarray(mh.run(200, 0))
+    moved = (np.diff(s, axis=1) != 0).any(axis=2)
+    assert moved.all()
+
+
+def test_pcn_moments_nontrivial_target():
+    import numpy as np
+
+    from general_mcmc_tpu import GaussianND, PCNProposal
+
+    target = GaussianND(mean=jnp.array([1.0, -1.0]), cov=jnp.array([0.5, 0.25]))
+    mh = MetropolisHastings(target, PCNProposal(0.7), init_det(64, 2)).seed(3)
+    s = np.asarray(mh.run(1500, 300)).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(axis=0), [1.0, -1.0], atol=0.1)
+    # 1-D cov argument is std-dev scales (models/distributions.py GaussianND)
+    np.testing.assert_allclose(s.std(axis=0), [0.5, 0.25], rtol=0.15)

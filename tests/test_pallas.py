@@ -33,6 +33,22 @@ def test_fused_hmc_interpret_structure():
     assert np.isfinite(np.asarray(s)).all()
 
 
+def test_fused_hmc_interpret_moments():
+    """The interpret-mode PRNG fallback (pallas_hmc.seed_prng) makes CPU
+    kernel runs statistically meaningful: actual target moments, not just
+    shapes."""
+    t = _target()
+    s = np.asarray(
+        fused_hmc_run(t.unnorm_logp, init_det(64, 2), 0.25, 10, 150, 50,
+                      seed=1, interpret=True)
+    )
+    flat = s.reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.4)
+    np.testing.assert_allclose(
+        np.cov(flat.T), [[4.0, 2.0], [2.0, 3.0]], atol=1.0
+    )
+
+
 @pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
 def test_fused_hmc_tpu_moments():
     t = _target()
@@ -43,6 +59,39 @@ def test_fused_hmc_tpu_moments():
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.3)
     np.testing.assert_allclose(
         np.cov(flat.T), [[4.0, 2.0], [2.0, 3.0]], atol=0.6
+    )
+
+
+def test_pallas_nuts_interpret_moments():
+    """Repeated fused-NUTS transitions under the interpreter with the hash
+    PRNG fallback reach the target distribution."""
+    from general_mcmc_tpu.ops.pallas_nuts import pallas_nuts_step
+
+    t = _target()
+    logp = t.unnorm_logp
+    pos = init_det(32, 2).astype(jnp.float32)
+    lp, grad = jax.vmap(jax.value_and_grad(logp))(pos)
+    lp, grad = lp.astype(jnp.float32), grad.astype(jnp.float32)
+
+    @jax.jit  # seed is a traced SMEM input: one kernel trace for all steps
+    def step(pos, lp, grad, seed):
+        return pallas_nuts_step(
+            logp, pos, lp, grad,
+            jnp.full((32,), 0.4, jnp.float32),
+            jnp.ones((32, 2), jnp.float32),
+            jnp.ones((32, 2), jnp.float32),
+            seed=seed, max_depth=5, interpret=True,
+        )[:3]
+
+    collected = []
+    for i in range(60):
+        pos, lp, grad = step(pos, lp, grad, jnp.int32(i))
+        if i >= 20:
+            collected.append(np.asarray(pos))
+    flat = np.concatenate(collected).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.5)
+    np.testing.assert_allclose(
+        np.cov(flat.T), [[4.0, 2.0], [2.0, 3.0]], atol=1.2
     )
 
 
@@ -205,3 +254,34 @@ def test_pallas_nuts2_tpu_moments():
     flat = np.asarray(xs[200:]).reshape(-1, 2)
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.1)
     np.testing.assert_allclose(flat.std(axis=0), [1.0, 3.0], rtol=0.1)
+
+
+def test_mh_pallas_asymmetric_pcn_interpret():
+    """The fused kernel computes the full Hastings ratio for asymmetric
+    proposals: with a standard-normal target, pCN accepts every step
+    (ratio ≡ 1), which only holds if the q-correction is included."""
+    from general_mcmc_tpu import GaussianND, PCNProposal
+    from general_mcmc_tpu.ops.pallas_mh import fused_mh_run
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.ones(2, jnp.float32))
+    s = fused_mh_run(
+        t.unnorm_logp, init_det(8, 2), None, 50, 0, seed=1,
+        interpret=True, proposal=PCNProposal(0.6),
+    )
+    s = np.asarray(s)
+    assert s.shape == (8, 50, 2)
+    moved = (np.diff(s, axis=1) != 0).any(axis=2)
+    assert moved.all()
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
+def test_mh_pallas_asymmetric_pcn_tpu_moments():
+    from general_mcmc_tpu import GaussianND, MetropolisHastings, PCNProposal
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.array([1.0, 1.0], jnp.float32))
+    mh = MetropolisHastings(
+        t, PCNProposal(0.5), init_det(512, 2), backend="pallas"
+    ).seed(6)
+    s = np.asarray(mh.run(2000, 500)).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(axis=0), [0.0, 0.0], atol=0.15)
+    np.testing.assert_allclose(s.std(axis=0), [1.0, 1.0], rtol=0.15)
