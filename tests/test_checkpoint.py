@@ -104,3 +104,69 @@ def test_gibbs_and_mala_resume_exactness(tmp_path):
     m_part.save_checkpoint(p)
     rest = np.asarray(MALA(target, init_det(3, 2), 0.5).set_seed(6).resume(p, 12))
     np.testing.assert_allclose(rest, ref[:, 18:], atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Property sweep: resume(K) ≡ uninterrupted, across samplers × dtypes × splits
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from general_mcmc_tpu import GaussianND, GibbsSampler, HMC, MALA, Poisson
+from general_mcmc_tpu.samplers.metropolis_hastings import DiscreteWalkProposal
+
+
+def _cond(key, i, state):
+    import jax
+
+    return 0.5 * state[jnp.maximum(i - 1, 0)] + jax.random.normal(
+        key, (), state.dtype
+    )
+
+
+_FACTORIES = {
+    "mh_f32": lambda: MetropolisHastings(
+        Gaussian2D(mean=jnp.zeros(2), cov=jnp.eye(2)),
+        IsotropicGaussian(1.0),
+        init_det(4, 2),
+    ),
+    "mh_f64": lambda: MetropolisHastings(
+        Gaussian2D(mean=jnp.zeros(2), cov=jnp.eye(2)),
+        IsotropicGaussian(1.0),
+        init_det(4, 2, dtype=jnp.float64),
+    ),
+    "mh_int32": lambda: MetropolisHastings(
+        Poisson(4.0), DiscreteWalkProposal(), jnp.full((4, 1), 4, jnp.int32)
+    ),
+    "hmc": lambda: HMC(
+        DiffableGaussian2D(
+            mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+        ),
+        init_det(4, 2),
+        0.2,
+        5,
+    ),
+    "mala": lambda: MALA(GaussianND(mean=jnp.zeros(3), cov=jnp.ones(3)),
+                         init_det(4, 3), 0.4),
+    "gibbs": lambda: GibbsSampler(_cond, jnp.zeros((4, 3))),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_FACTORIES))
+@pytest.mark.parametrize("seed,total,k", [(0, 22, 9), (13, 22, 1)])
+def test_resume_exactness_property(tmp_path, name, seed, total, k):
+    """For every scan-based sampler and state dtype, checkpointing after K
+    steps and resuming reproduces the uninterrupted run bit-for-bit (the
+    per-step fold_in RNG scheme makes the streams position-dependent, not
+    history-dependent)."""
+    make = _FACTORIES[name]
+    ref = np.asarray(make().seed(seed).run(total, 0))
+
+    part = make().seed(seed)
+    first = np.asarray(part.run(k, 0))
+    path = str(tmp_path / f"{name}.npz")
+    part.save_checkpoint(path)
+    rest = np.asarray(make().seed(seed).resume(path, total - k))
+
+    np.testing.assert_array_equal(first, ref[:, :k])
+    np.testing.assert_array_equal(rest, ref[:, k:])
