@@ -63,33 +63,45 @@ class KernelRun(NamedTuple):
     samples: jax.Array
 
 
-def _scan_steps(step_fn, carry, start: int, n_steps: int, collect: bool):
-    """Scan ``step_fn`` over absolute step indices [start, start+n_steps)."""
+def _scan_steps(step_fn, carry, start: int, n_steps: int, collect: bool,
+                thin: int = 1):
+    """Scan ``step_fn`` over absolute step indices [start, start+n_steps·thin);
+    when collecting, only every ``thin``-th post-step state is recorded (the
+    scan body advances ``thin`` transitions, so skipped states never hit HBM)."""
 
-    def body(c, m):
-        c = step_fn(c, m)
+    def advance(c, m0):
+        if thin == 1:
+            return step_fn(c, m0)
+        return jax.lax.fori_loop(0, thin, lambda k, cc: step_fn(cc, m0 + k), c)
+
+    def body(c, m0):
+        c = advance(c, m0)
         out = step_fn.extract(c) if collect else None
         return c, out
 
-    steps = jnp.arange(start, start + n_steps)
+    steps = jnp.arange(start, start + n_steps * thin, thin)
     carry, ys = jax.lax.scan(body, carry, steps)
     return carry, ys
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
-def _run_compiled(step_fn, carry, n_collect: int, n_discard: int, offset: int):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _run_compiled(step_fn, carry, n_collect: int, n_discard: int, offset: int,
+                  thin: int = 1):
     if n_discard > 0:
         carry, _ = _scan_steps(step_fn, carry, offset, n_discard, collect=False)
     carry, samples = _scan_steps(
-        step_fn, carry, offset + n_discard, n_collect, collect=True
+        step_fn, carry, offset + n_discard, n_collect, collect=True, thin=thin
     )
     return carry, samples
 
 
 def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
-               step_offset: int = 0) -> KernelRun:
-    """Advance a transition kernel ``n_discard + n_collect`` steps, collecting
-    the post-step states of the last ``n_collect`` (run_chain, core.rs:95-115).
+               step_offset: int = 0, thin: int = 1) -> KernelRun:
+    """Advance a transition kernel ``n_discard + n_collect·thin`` steps,
+    collecting every ``thin``-th post-step state of the last ``n_collect·thin``
+    (run_chain, core.rs:95-115; thinning is an extension — the per-step RNG
+    is position-indexed, so a thinned run visits exactly the states of the
+    unthinned run and records a strided subset without staging the rest).
 
     ``step_fn`` must be hashable (use a module-level function or a frozen
     dataclass) with signature ``step_fn(carry, m) -> carry`` where ``m`` is the
@@ -98,7 +110,11 @@ def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
     shifts the step indices — resumed runs use it so per-step RNG streams
     never replay the original segment's.
     """
-    carry, samples = _run_compiled(step_fn, carry, n_collect, n_discard, step_offset)
+    if thin < 1:
+        raise ValueError(f"thin must be >= 1, got {thin}")
+    carry, samples = _run_compiled(
+        step_fn, carry, n_collect, n_discard, step_offset, thin
+    )
     return KernelRun(carry, samples)
 
 

@@ -195,6 +195,7 @@ def fused_hmc_run(
     seed: int = 0,
     block_chains: int = 1024,
     interpret: bool = False,
+    thin: int = 1,
 ):
     """Run batched HMC entirely inside one Pallas kernel.
 
@@ -211,7 +212,10 @@ def fused_hmc_run(
         block_chains = n
     B = block_chains
     n_blocks = n // B
-    total = n_collect + n_discard
+    # With thin > 1, strides of thin steps share an output block; the
+    # sequential grid leaves each stride's last write (same convention as
+    # the XLA runner: sample k = post-step state (k+1)·thin - 1).
+    total = n_collect * thin + n_discard
 
     def vg_fn(x):
         lp, g = jax.vmap(jax.value_and_grad(logp_fn))(x)
@@ -254,7 +258,7 @@ def fused_hmc_run(
         + [full_vmem(c) for c in consts_2d],
         out_specs=pl.BlockSpec(
             (1, B, d),
-            lambda b, t: (jnp.maximum(t - n_discard, 0), b, 0),
+            lambda b, t: (jnp.maximum(t - n_discard, 0) // thin, b, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_collect, n, d), jnp.float32),

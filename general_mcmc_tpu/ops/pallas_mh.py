@@ -112,12 +112,16 @@ def fused_mh_run(
     block_chains: int = 1024,
     interpret: bool = False,
     proposal=None,
+    thin: int = 1,
 ):
     """Run MH entirely inside one Pallas kernel.
 
     ``scale`` selects the symmetric Gaussian random walk; alternatively pass
     ``proposal`` with ``propose(x, z)`` (deterministic reparameterized
-    sample) and ``logp(from, to)`` for the general Hastings rule.  Returns
+    sample) and ``logp(from, to)`` for the general Hastings rule.  With
+    ``thin``, every thin-th post-step state is kept: steps within a stride
+    share an output block and the sequential TPU grid leaves the stride's
+    last write — no extra VMEM or control flow.  Returns
     ``[n_chains, n_collect, dim]`` float32 samples.
     """
     x0 = jnp.asarray(initial_positions, jnp.float32).T  # [d, n]
@@ -126,7 +130,7 @@ def fused_mh_run(
         block_chains = n
     B = block_chains
     n_blocks = n // B
-    total = n_collect + n_discard
+    total = n_collect * thin + n_discard
 
     def lp_batch(x_dB):
         return (jax.vmap(logp_fn, in_axes=1)(x_dB).astype(jnp.float32),)
@@ -179,7 +183,7 @@ def fused_mh_run(
         + [full_vmem(c) for c in lp_consts + step_consts],
         out_specs=pl.BlockSpec(
             (1, d, B),
-            lambda b, t: (jnp.maximum(t - n_discard, 0), 0, b),
+            lambda b, t: (jnp.maximum(t - n_discard, 0) // thin, 0, b),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_collect, d, n), jnp.float32),

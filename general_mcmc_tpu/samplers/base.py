@@ -85,14 +85,17 @@ class BatchSampler:
         return chain_keys(self._key, self.n_chains)
 
     # -- running ------------------------------------------------------------
-    def run(self, n_collect: int, n_discard: int = 0):
-        """Run ``n_discard + n_collect`` steps; return collected post-step
-        states as ``[n_chains, n_collect, dim]`` (ChainRunner::run,
-        core.rs:219-229)."""
+    def run(self, n_collect: int, n_discard: int = 0, thin: int = 1):
+        """Run ``n_discard + n_collect·thin`` steps; return every ``thin``-th
+        collected post-step state as ``[n_chains, n_collect, dim]``
+        (ChainRunner::run, core.rs:219-229; ``thin`` is an extension —
+        skipped states never stage through HBM, so long decorrelated
+        collections fit in memory)."""
         self._prepare_run(n_collect, n_discard)
-        out = run_kernel(self._step_fn, self._init_carry(), n_collect, n_discard)
+        out = run_kernel(self._step_fn, self._init_carry(), n_collect, n_discard,
+                         thin=thin)
         self._final_carry = out.carry
-        self._steps_done = n_collect + n_discard
+        self._steps_done = n_collect * thin + n_discard
         return jnp.swapaxes(out.samples, 0, 1)
 
     # -- checkpoint / resume (absent in the reference: core.rs:177 TODO) ----

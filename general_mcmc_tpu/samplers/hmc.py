@@ -82,7 +82,7 @@ class HMC(BatchSampler):
         self._vgrad = jax.vmap(jax.value_and_grad(self.target))
         super().__init__(n_chains=self.initial_positions.shape[0], seed=seed)
 
-    def run(self, n_collect: int, n_discard: int = 0):
+    def run(self, n_collect: int, n_discard: int = 0, thin: int = 1):
         if self.backend == "pallas":
             # Whole run in one fused kernel (ops/pallas_hmc.py): the batch
             # stays VMEM-resident, one HBM write per collected step.
@@ -97,10 +97,11 @@ class HMC(BatchSampler):
                 n_collect,
                 n_discard,
                 seed=seed,
+                thin=thin,
             )
-            self._steps_done = n_collect + n_discard
+            self._steps_done = n_collect * thin + n_discard
             return samples
-        return super().run(n_collect, n_discard)
+        return super().run(n_collect, n_discard, thin=thin)
 
     def _init_carry(self):
         x0 = self.initial_positions

@@ -140,7 +140,7 @@ class MetropolisHastings(BatchSampler):
         self.backend = backend
         super().__init__(n_chains=self.initial_states.shape[0], seed=seed)
 
-    def run(self, n_collect: int, n_discard: int = 0):
+    def run(self, n_collect: int, n_discard: int = 0, thin: int = 1):
         if self.backend == "pallas":
             # Whole run in one fused kernel (ops/pallas_mh.py).
             from ..ops.pallas_mh import fused_mh_run
@@ -161,10 +161,11 @@ class MetropolisHastings(BatchSampler):
                 n_discard,
                 seed=seed,
                 proposal=proposal,
+                thin=thin,
             )
-            self._steps_done = n_collect + n_discard
+            self._steps_done = n_collect * thin + n_discard
             return samples
-        return super().run(n_collect, n_discard)
+        return super().run(n_collect, n_discard, thin=thin)
 
     def _init_carry(self):
         x0 = self.initial_states

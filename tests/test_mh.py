@@ -167,3 +167,19 @@ def test_pcn_moments_nontrivial_target():
     np.testing.assert_allclose(s.mean(axis=0), [1.0, -1.0], atol=0.1)
     # 1-D cov argument is std-dev scales (models/distributions.py GaussianND)
     np.testing.assert_allclose(s.std(axis=0), [0.5, 0.25], rtol=0.15)
+
+
+def test_thinning_equals_strided_full_run():
+    """thin=k records exactly every k-th state of the unthinned run (the
+    per-step RNG is position-indexed, so trajectories coincide), and the
+    final carry matches, so checkpoints continue identically."""
+    import numpy as np
+
+    target = Gaussian2D(mean=jnp.zeros(2), cov=jnp.eye(2))
+
+    def make():
+        return MetropolisHastings(target, IsotropicGaussian(1.0), init_det(3, 2))
+
+    full = np.asarray(make().seed(5).run(30, 4))
+    thin = np.asarray(make().seed(5).run(10, 4, thin=3))
+    np.testing.assert_array_equal(thin, full[:, 2::3])

@@ -1,10 +1,10 @@
-"""Fused Pallas HMC kernel tests.
+"""Fused Pallas kernel tests.
 
-On CPU the TPU interpreter stubs the hardware PRNG (prng_random_bits → 0),
-so only structure (shapes, burn-in block mapping, determinism of the
-degenerate stream) is checked here; statistical correctness runs on real
-TPU via tests marked `tpu` (and is exercised by bench.py).
-"""
+On CPU the TPU interpreter stubs the hardware PRNG (prng_random_bits
+returns constants); kernels seeded through ``pallas_hmc.seed_prng`` fall
+back to a hash PRNG in interpret mode, so interpret tests here assert real
+target *moments*, not just shapes.  Hardware-PRNG statistical runs live in
+the tests marked `tpu` (and bench.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -285,3 +285,22 @@ def test_mh_pallas_asymmetric_pcn_tpu_moments():
     s = np.asarray(mh.run(2000, 500)).reshape(-1, 2)
     np.testing.assert_allclose(s.mean(axis=0), [0.0, 0.0], atol=0.15)
     np.testing.assert_allclose(s.std(axis=0), [1.0, 1.0], rtol=0.15)
+
+
+def test_mh_pallas_thinning_interpret():
+    """Fused-kernel thinning keeps the stride's last write per block: exact
+    agreement with the strided unthinned kernel run (same seed → same
+    per-(block, step) PRNG streams)."""
+    from general_mcmc_tpu import GaussianND
+    from general_mcmc_tpu.ops.pallas_mh import fused_mh_run
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.ones(2, jnp.float32))
+    full = np.asarray(
+        fused_mh_run(t.unnorm_logp, init_det(8, 2), 0.7, 12, 4, seed=3,
+                     interpret=True)
+    )
+    thin = np.asarray(
+        fused_mh_run(t.unnorm_logp, init_det(8, 2), 0.7, 4, 4, seed=3,
+                     interpret=True, thin=3)
+    )
+    np.testing.assert_array_equal(thin, full[:, 2::3])
