@@ -34,6 +34,7 @@ from .samplers.metropolis_hastings import (
     RandomWalkProposal,
 )
 from .samplers.nuts import NUTS, NUTSMassMatrixConfig
+from .samplers.tempering import ReplicaExchange, geometric_temperatures
 from .models.distributions import (
     Binomial,
     Categorical,

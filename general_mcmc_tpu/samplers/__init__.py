@@ -8,3 +8,4 @@ from .metropolis_hastings import (
     RandomWalkProposal,
 )
 from .nuts import NUTS, NUTSMassMatrixConfig
+from .tempering import ReplicaExchange, geometric_temperatures
