@@ -107,3 +107,11 @@ def test_funnel_nuts(_example_out):
     assert os.path.exists(path)
     assert div_coarse > div_adapted  # adaptation reduces divergences
     assert div_coarse > 0
+
+
+def test_two_wells_tempering(_example_out):
+    import two_wells_tempering
+
+    trapped_frac, mixed_frac = two_wells_tempering.main()
+    assert trapped_frac < 0.05
+    assert 0.3 < mixed_frac < 0.7
