@@ -189,7 +189,13 @@ def run_kernel_progress_stream(
     def emit(done, tstate):
         within, var = _multi_within_and_var(tstate)
         rhat = jnp.sqrt(var / within)
-        max_rhat = jnp.max(jnp.where(jnp.isfinite(rhat), rhat, -jnp.inf))
+        finite = jnp.isfinite(rhat)
+        # all-NaN (first tracker updates) displays as NaN, not -inf
+        max_rhat = jnp.where(
+            jnp.any(finite),
+            jnp.max(jnp.where(finite, rhat, -jnp.inf)),
+            jnp.nan,
+        )
         io_callback(
             hook,
             None,
@@ -203,14 +209,16 @@ def run_kernel_progress_stream(
         """Scan ``n`` steps from absolute index ``start`` in stride-sized
         chunks, emitting progress after each chunk (+ remainder)."""
 
-        def chunk(aug, chunk_start):
-            def inner(aug, m):
-                c, ts = aug
-                c = step_fn(c, m)
-                x = step_fn.extract(c)
-                ts = _multi_update(ts, x)
-                return (c, ts), (x if collect else None)
+        def inner(aug, m):
+            c, ts = aug
+            c = step_fn(c, m)
+            x = step_fn.extract(c)
+            # track in float32 like MultiChainTracker.step_batch (int states
+            # are cast; the tracker state stays dtype-stable across carries)
+            ts = _multi_update(ts, x.astype(jnp.float32))
+            return (c, ts), (x if collect else None)
 
+        def chunk(aug, chunk_start):
             aug, ys = jax.lax.scan(
                 inner, aug, chunk_start + jnp.arange(stride)
             )
@@ -225,13 +233,6 @@ def run_kernel_progress_stream(
             if collect:
                 ys = ys.reshape((n_main * stride,) + ys.shape[2:])
         if rem:
-            def inner(aug, m):
-                c, ts = aug
-                c = step_fn(c, m)
-                x = step_fn.extract(c)
-                ts = _multi_update(ts, x)
-                return (c, ts), (x if collect else None)
-
             aug, ys_rem = jax.lax.scan(
                 inner, aug, start + n_main * stride + jnp.arange(rem)
             )
@@ -243,12 +244,16 @@ def run_kernel_progress_stream(
     @jax.jit
     def run(carry):
         x0 = step_fn.extract(carry)
+        # mirror MultiChainTracker's initial state exactly (float32, zeros,
+        # p_accept 0.0) so stream mode reports the same statistics as the
+        # chunked path for any state dtype
+        zeros = jnp.zeros(x0.shape, jnp.float32)
         tstate = _TrackerState(
             n=jnp.zeros((), jnp.int32),
-            p_accept=jnp.asarray(-1.0, x0.dtype),
-            last_state=x0,
-            mean=jnp.zeros_like(x0),
-            mean_sq=jnp.zeros_like(x0),
+            p_accept=jnp.zeros((), jnp.float32),
+            last_state=zeros,
+            mean=zeros,
+            mean_sq=zeros,
         )
         aug = (carry, tstate)
         if n_discard:

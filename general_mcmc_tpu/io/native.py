@@ -15,13 +15,37 @@ import threading
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(os.path.dirname(_PKG_DIR))
 _SRC = os.path.join(_REPO_ROOT, "csrc", "fastio.cpp")
-_SO = os.path.join(_REPO_ROOT, "csrc", "libgmtio.so")
+# Wheel installs ship the .so inside the package (setup.py BuildNativeIO);
+# source checkouts may have a legacy csrc/ build; otherwise build lazily
+# into the package dir.
+_SO = os.path.join(_PKG_DIR, "libgmtio.so")
+_SO_LEGACY = os.path.join(_REPO_ROOT, "csrc", "libgmtio.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _find_or_build():
+    for so in (_SO, _SO_LEGACY):
+        if os.path.exists(so) and not (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(so)
+        ):
+            return so
+    subprocess.run(
+        [
+            os.environ.get("CXX", "g++"),
+            "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO,
+        ],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+    return _SO
 
 
 def _load():
@@ -31,17 +55,7 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-            ):
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(_find_or_build())
             lib.gmt_write_csv.argtypes = [
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.c_uint32,

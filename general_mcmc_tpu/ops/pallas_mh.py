@@ -60,18 +60,16 @@ def _inline(fn, *example_args):
 
 def _mh_kernel(
     x0_ref,
+    lp0_ref,
     *refs,
-    closed_lp: Callable,
     closed_step: Callable,
-    n_lp_consts: int,
     n_step_consts: int,
     n_discard: int,
     seed: int,
     interpret: bool,
 ):
-    lp_consts = refs[:n_lp_consts]
-    step_consts = refs[n_lp_consts : n_lp_consts + n_step_consts]
-    out_ref, pos_ref, lp_ref = refs[n_lp_consts + n_step_consts :]
+    step_consts = refs[:n_step_consts]
+    out_ref, pos_ref, lp_ref = refs[n_step_consts:]
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -79,10 +77,11 @@ def _mh_kernel(
 
     @pl.when(t == 0)
     def _init():
-        x = x0_ref[:]
-        pos_ref[:] = x
-        (lp0,) = closed_lp(lp_consts, x)
-        lp_ref[:] = lp0.reshape(1, x.shape[1])
+        # initial logp is computed once at the JAX level and fed in — the
+        # target's constants then ride into the kernel exactly once (via
+        # the step jaxpr), not twice
+        pos_ref[:] = x0_ref[:]
+        lp_ref[:] = lp0_ref[:]
 
     x = pos_ref[:]  # [d, B]
     lp = lp_ref[:]  # [1, B]
@@ -157,14 +156,12 @@ def fused_mh_run(
         return y, lp, dq
 
     zeros = jnp.zeros((d, B), jnp.float32)
-    closed_lp, lp_consts = _inline(lp_batch, zeros)
     closed_step, step_consts = _inline(step_batch, zeros, zeros)
+    (lp0,) = lp_batch(x0)  # [n] initial logp, computed outside the kernel
 
     kernel = functools.partial(
         _mh_kernel,
-        closed_lp=closed_lp,
         closed_step=closed_step,
-        n_lp_consts=len(lp_consts),
         n_step_consts=len(step_consts),
         n_discard=int(n_discard),
         seed=int(seed),
@@ -178,9 +175,10 @@ def fused_mh_run(
         kernel,
         grid=(n_blocks, total),
         in_specs=[
-            pl.BlockSpec((d, B), lambda b, t: (0, b), memory_space=pltpu.VMEM)
+            pl.BlockSpec((d, B), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda b, t: (0, b), memory_space=pltpu.VMEM),
         ]
-        + [full_vmem(c) for c in lp_consts + step_consts],
+        + [full_vmem(c) for c in step_consts],
         out_specs=pl.BlockSpec(
             (1, d, B),
             lambda b, t: (jnp.maximum(t - n_discard, 0) // thin, 0, b),
@@ -192,6 +190,6 @@ def fused_mh_run(
             pltpu.VMEM((1, B), jnp.float32),  # logp
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x0, *lp_consts, *step_consts)
+    )(x0, lp0.reshape(1, n), *step_consts)
     # [n_collect, d, n] -> [n, n_collect, d]
     return jnp.transpose(out, (2, 0, 1))

@@ -177,5 +177,6 @@ class BatchSampler:
         if renderer is not None:
             renderer.close()
         self._final_carry = out.carry
+        self._steps_done = total  # keeps save_checkpoint/resume RNG-correct
         samples = jnp.swapaxes(out.samples, 0, 1)
         return samples, RunStats.from_sample(samples)

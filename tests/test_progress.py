@@ -99,3 +99,54 @@ def test_stream_mode_renders(capsys):
     err = capsys.readouterr().err
     assert "Global" in err and "max(rhat)" in err
     assert sample.shape == (2, 50, 2)
+
+
+def test_stream_mode_int_states():
+    """Integer-state samplers work in stream mode (tracker tracks in f32,
+    exactly like the chunked MultiChainTracker path)."""
+    from general_mcmc_tpu import Poisson
+    from general_mcmc_tpu.samplers.metropolis_hastings import DiscreteWalkProposal
+
+    mh = MetropolisHastings(
+        Poisson(4.0), DiscreteWalkProposal(), jnp.full((4, 1), 4, jnp.int32)
+    ).seed(1)
+    s, stats = mh.run_progress(80, 20, progress=False, mode="stream")
+    assert s.shape == (4, 80, 1)
+    assert s.dtype == jnp.int32
+
+
+def test_stream_mode_p_accept_matches_chunked():
+    """Stream-mode acceptance stats mirror the chunked tracker (same init,
+    same fold), and are sane from the first tick (no -1 sentinel decay)."""
+    from general_mcmc_tpu.core import run_kernel_progress_stream
+    from general_mcmc_tpu.diagnostics.stats import MultiChainTracker
+
+    mh = _mh().seed(4)
+    mh._prepare_run(64, 0)
+    ticks = []
+    out = run_kernel_progress_stream(
+        mh._step_fn, mh._init_carry(), 64, 0,
+        lambda done, rhat, pacc: ticks.append((int(done), float(pacc))),
+        stride=64,
+    )
+    tracker = MultiChainTracker(4, 2)
+    tracker.step_batch(out.samples)
+    assert ticks[0][0] == 64
+    assert abs(ticks[0][1] - tracker.p_accept) < 1e-5
+    assert 0.0 <= ticks[0][1] <= 1.0
+
+
+def test_steps_done_after_run_progress(tmp_path):
+    """save_checkpoint works right after run_progress, and the stored step
+    count advances the RNG past the progress run (never-replay guarantee)."""
+    import numpy as np
+
+    for mode in ("chunked", "stream"):
+        mh = _mh().seed(8)
+        mh.run_progress(30, 10, progress=False, mode=mode)
+        p = str(tmp_path / f"{mode}.npz")
+        mh.save_checkpoint(p)
+
+        ref = np.asarray(_mh().seed(8).run(45, 10))
+        rest = np.asarray(_mh().seed(8).resume(p, 15))
+        np.testing.assert_array_equal(rest, ref[:, 30:])
