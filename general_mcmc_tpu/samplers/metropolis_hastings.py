@@ -62,7 +62,7 @@ class PCNProposal:
     """Preconditioned Crank–Nicolson proposal: ``y = √(1−β²)·x + β·z``.
 
     The classic dimension-robust proposal for targets dominated by a
-    standard-normal component (Cotter et al. 2013, see PAPERS.md).  It is
+    standard-normal component (preconditioned Crank–Nicolson; Cotter, Roberts, Stuart & White 2013, "MCMC methods for functions", arXiv:1202.0709).  It is
     *asymmetric* — ``q(y|x) ≠ q(x|y)`` — so it exercises the full Hastings
     ratio (metropolis_hastings.rs:310-312) on both backends; the Gaussian
     normalization constant is equal in the two directions and omitted.

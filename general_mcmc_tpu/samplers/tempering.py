@@ -13,7 +13,7 @@ ensemble ``[n_chains, n_temps, dim]`` advances as a single tensor program:
 - **swap moves**: every ``swap_every`` steps, adjacent temperature pairs
   exchange states with probability ``min(1, exp((β_i − β_j)(lp_j − lp_i)))``.
   Pairs alternate even/odd offsets per swap round (the deterministic
-  even-odd scheme of Okabe et al. 2001 / DEO, see PAPERS.md), which is both
+  even-odd scheme; Okabe et al. 2001, arXiv:cond-mat/0012323), which is both
   the fastest-mixing ladder schedule and a perfectly vectorizable one: a
   swap round is one masked pairwise select along the temperature axis — no
   gathers, no host control flow.
