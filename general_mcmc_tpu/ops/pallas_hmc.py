@@ -115,6 +115,8 @@ def _standard_normal(shape, salt=None):
 
 def _hmc_kernel(
     x0_ref,
+    inv_ref,  # [1, d] diagonal of M⁻¹
+    scale_ref,  # [1, d] sqrt of the diagonal of M
     *refs,
     closed_vg: Callable,
     const_shapes,
@@ -152,16 +154,18 @@ def _hmc_kernel(
     x = pos_ref[:]
     lp = lp_ref[:]
     grad = grad_ref[:]
+    inv = inv_ref[:]  # broadcasts [1, d] over the [B, d] batch
+    scale = scale_ref[:]
     eps = jnp.float32(step_size)
     half = jnp.float32(0.5) * eps
 
-    mom = _standard_normal(x.shape)
-    ke0 = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
+    mom = scale * _standard_normal(x.shape)
+    ke0 = 0.5 * jnp.sum(mom * (inv * mom), axis=1, keepdims=True)
 
     def body(_, carry):
         p, m, g, _lp = carry
         m = m + g * half
-        p = p + m * eps
+        p = p + inv * m * eps
         lp_new, g = vg_fn(p)
         m = m + g * half
         return (p, m, g, lp_new)
@@ -170,7 +174,7 @@ def _hmc_kernel(
         0, n_leapfrog, body, (x, mom, grad, lp)
     )
 
-    ke1 = 0.5 * jnp.sum(m_new * m_new, axis=1, keepdims=True)
+    ke1 = 0.5 * jnp.sum(m_new * (inv * m_new), axis=1, keepdims=True)
     log_accept = (lp_new - lp) + (ke0 - ke1)  # [B, 1]
     u = _uniform_01((x.shape[0], 1))
     accept = jnp.log(u) < log_accept  # [B, 1]
@@ -196,8 +200,13 @@ def fused_hmc_run(
     block_chains: int = 1024,
     interpret: bool = False,
     thin: int = 1,
+    mass_inv=None,
 ):
     """Run batched HMC entirely inside one Pallas kernel.
+
+    ``mass_inv``: optional [dim] diagonal of M⁻¹ (momenta ~ N(0, M), drifts
+    M⁻¹p, kinetic energy ½pᵀM⁻¹p); rides as a [1, d] VMEM row broadcast
+    over the chain block's sublanes.
 
     ``logp_fn`` maps a single ``[dim]`` state to a scalar; it is vmapped and
     differentiated at trace time and inlined into the kernel.  Chains are
@@ -216,6 +225,12 @@ def fused_hmc_run(
     # sequential grid leaves each stride's last write (same convention as
     # the XLA runner: sample k = post-step state (k+1)·thin - 1).
     total = n_collect * thin + n_discard
+
+    if mass_inv is None:
+        inv_row = jnp.ones((1, d), jnp.float32)
+    else:
+        inv_row = jnp.asarray(mass_inv, jnp.float32).reshape(1, d)
+    scale_row = 1.0 / jnp.sqrt(inv_row)
 
     def vg_fn(x):
         lp, g = jax.vmap(jax.value_and_grad(logp_fn))(x)
@@ -253,7 +268,9 @@ def fused_hmc_run(
         kernel,
         grid=(n_blocks, total),
         in_specs=[
-            pl.BlockSpec((B, d), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((B, d), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            full_vmem(inv_row),
+            full_vmem(scale_row),
         ]
         + [full_vmem(c) for c in consts_2d],
         out_specs=pl.BlockSpec(
@@ -268,5 +285,5 @@ def fused_hmc_run(
             pltpu.VMEM((B, d), jnp.float32),  # gradient
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x0, *consts_2d)
+    )(x0, inv_row, scale_row, *consts_2d)
     return jnp.swapaxes(out, 0, 1)

@@ -31,19 +31,22 @@ from .base import BatchSampler
 __all__ = ["HMC", "leapfrog"]
 
 
-def leapfrog(value_and_grad_fn, position, momentum, grad, step_size, n_leapfrog):
+def leapfrog(value_and_grad_fn, position, momentum, grad, step_size, n_leapfrog,
+             mass_inv=None):
     """``n_leapfrog`` leapfrog steps on a [n_chains, dim] batch
     (batched_hmc.rs:166-190 order: half-kick, drift, re-grad, half-kick).
 
-    ``grad`` is the gradient at ``position``; returns
+    ``grad`` is the gradient at ``position``; ``mass_inv`` an optional [dim]
+    diagonal of M⁻¹ for the drift.  Returns
     ``(position', momentum', logp', grad')``.
     """
     half = 0.5 * step_size
+    inv = 1.0 if mass_inv is None else mass_inv
 
     def body(carry, _):
         pos, mom, g = carry
         mom = mom + g * half
-        pos = pos + mom * step_size
+        pos = pos + inv * mom * step_size
         logp, g = value_and_grad_fn(pos)
         mom = mom + g * half
         return (pos, mom, g), logp
@@ -66,16 +69,28 @@ class HMC(BatchSampler):
     initial_positions : [n_chains, dim] float array
     step_size : leapfrog step size ε
     n_leapfrog : leapfrog steps per proposal L
+    mass_inv : optional [dim] diagonal of M⁻¹ (extension beyond the
+        reference's unit-mass HMC, hmc.rs:113-134): momenta are drawn from
+        N(0, M), drifts use M⁻¹p, kinetic energy is ½pᵀM⁻¹p — the same
+        metric NUTS adapts, so a NUTS-warmup mass can be reused here.
     """
 
     def __init__(self, target, initial_positions, step_size, n_leapfrog, seed=0,
-                 backend: str = "xla"):
+                 backend: str = "xla", mass_inv=None):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
         if not jnp.issubdtype(self.initial_positions.dtype, jnp.floating):
             self.initial_positions = self.initial_positions.astype(jnp.float32)
         self.step_size = step_size
         self.n_leapfrog = int(n_leapfrog)
+        dtype = self.initial_positions.dtype
+        dim = self.initial_positions.shape[1]
+        if mass_inv is None:
+            self.mass_inv = jnp.ones((dim,), dtype)
+        else:
+            self.mass_inv = jnp.asarray(mass_inv, dtype).reshape(dim)
+        # p = scale·z with z ~ N(0, I) gives p ~ N(0, M) for M = diag(1/inv)
+        self.mass_scale = 1.0 / jnp.sqrt(self.mass_inv)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
@@ -98,6 +113,7 @@ class HMC(BatchSampler):
                 n_discard,
                 seed=seed,
                 thin=thin,
+                mass_inv=self.mass_inv,
             )
             self._steps_done = n_collect * thin + n_discard
             return samples
@@ -117,16 +133,17 @@ class HMC(BatchSampler):
         k_u = jax.vmap(lambda kk: jax.random.fold_in(kk, 1))(k)
         # Per-chain momentum via per-chain keys keeps sampling invariant to
         # how chains are sharded across the mesh.
-        momentum = jax.vmap(
+        momentum = self.mass_scale * jax.vmap(
             lambda kk, shape_ref: jax.random.normal(kk, shape_ref.shape, dtype)
         )(k_mom, x)
-        ke_current = 0.5 * jnp.sum(momentum * momentum, axis=1)
+        inv = self.mass_inv
+        ke_current = 0.5 * jnp.sum(momentum * inv * momentum, axis=1)
 
         pos_new, mom_new, lp_new, grad_new = leapfrog(
             self._vgrad, x, momentum, grad, jnp.asarray(self.step_size, dtype),
-            self.n_leapfrog,
+            self.n_leapfrog, mass_inv=inv,
         )
-        ke_proposed = 0.5 * jnp.sum(mom_new * mom_new, axis=1)
+        ke_proposed = 0.5 * jnp.sum(mom_new * inv * mom_new, axis=1)
         log_accept = (lp_new - lp) + (ke_current - ke_proposed)
         u = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k_u)
         accept = jnp.log(u) < log_accept

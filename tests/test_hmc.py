@@ -84,3 +84,49 @@ def test_hmc_marginals_ks():
         draws = sample[:, ::4, j].ravel()
         stat, _ = sps.kstest(draws, "norm", args=(0.0, sd))
         assert stat < 0.03, (j, stat)
+
+
+def test_mass_matrix_hmc_moments_and_efficiency():
+    """Diagonal-mass HMC (extension beyond the reference's unit-mass
+    engine): on an ill-conditioned Gaussian the correct metric both keeps
+    the moments right and mixes dramatically better than unit mass."""
+    import numpy as np
+
+    from general_mcmc_tpu import GaussianND
+    from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+
+    scales = jnp.array([1.0, 10.0, 0.1, 5.0])
+    target = GaussianND(mean=jnp.zeros(4), cov=scales)
+    mass_inv = scales**2  # M⁻¹ = target covariance (optimal metric)
+
+    tuned = HMC(target, init_det(32, 4), 0.9, 8, mass_inv=mass_inv).seed(2)
+    s = np.asarray(tuned.run(800, 200))
+    flat = s.reshape(-1, 4)
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(4), atol=0.3)
+    np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.15)
+    _, ess_tuned = split_rhat_mean_ess(s)
+
+    unit = HMC(target, init_det(32, 4), 0.09, 8).seed(2)  # ε limited by 0.1-scale dim
+    _, ess_unit = split_rhat_mean_ess(np.asarray(unit.run(800, 200)))
+    assert float(jnp.min(ess_tuned)) > 3.0 * float(jnp.min(ess_unit))
+
+
+def test_mass_matrix_hmc_pallas_interpret_matches():
+    """The fused kernel implements the same metric: moments agree on the
+    ill-conditioned target under the interpret-mode PRNG."""
+    import numpy as np
+
+    from general_mcmc_tpu import GaussianND
+    from general_mcmc_tpu.ops.pallas_hmc import fused_hmc_run
+
+    scales = jnp.array([1.0, 5.0], jnp.float32)
+    target = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=scales)
+    s = np.asarray(
+        fused_hmc_run(
+            target.unnorm_logp, init_det(64, 2), 0.8, 8, 200, 100,
+            seed=4, interpret=True, mass_inv=scales**2,
+        )
+    )
+    flat = s.reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.3)
+    np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.2)
