@@ -32,21 +32,22 @@ __all__ = ["HMC", "leapfrog"]
 
 
 def leapfrog(value_and_grad_fn, position, momentum, grad, step_size, n_leapfrog,
-             mass_inv=None):
+             inv_mul=None):
     """``n_leapfrog`` leapfrog steps on a [n_chains, dim] batch
     (batched_hmc.rs:166-190 order: half-kick, drift, re-grad, half-kick).
 
-    ``grad`` is the gradient at ``position``; ``mass_inv`` an optional [dim]
-    diagonal of M⁻¹ for the drift.  Returns
+    ``grad`` is the gradient at ``position``; ``inv_mul`` an optional map
+    ``p -> M⁻¹p`` on the batch for a non-identity metric.  Returns
     ``(position', momentum', logp', grad')``.
     """
     half = 0.5 * step_size
-    inv = 1.0 if mass_inv is None else mass_inv
+    if inv_mul is None:
+        inv_mul = lambda p: p
 
     def body(carry, _):
         pos, mom, g = carry
         mom = mom + g * half
-        pos = pos + inv * mom * step_size
+        pos = pos + inv_mul(mom) * step_size
         logp, g = value_and_grad_fn(pos)
         mom = mom + g * half
         return (pos, mom, g), logp
@@ -69,10 +70,11 @@ class HMC(BatchSampler):
     initial_positions : [n_chains, dim] float array
     step_size : leapfrog step size ε
     n_leapfrog : leapfrog steps per proposal L
-    mass_inv : optional [dim] diagonal of M⁻¹ (extension beyond the
-        reference's unit-mass HMC, hmc.rs:113-134): momenta are drawn from
-        N(0, M), drifts use M⁻¹p, kinetic energy is ½pᵀM⁻¹p — the same
-        metric NUTS adapts, so a NUTS-warmup mass can be reused here.
+    mass_inv : optional [dim] diagonal or [dim, dim] dense M⁻¹ (extension
+        beyond the reference's unit-mass HMC, hmc.rs:113-134): momenta are
+        drawn from N(0, M), drifts use M⁻¹p, kinetic energy is ½pᵀM⁻¹p —
+        the same metric NUTS adapts, so a NUTS-warmup mass (diagonal or
+        dense) can be reused here.  Dense is XLA-backend only.
     """
 
     def __init__(self, target, initial_positions, step_size, n_leapfrog, seed=0,
@@ -88,9 +90,17 @@ class HMC(BatchSampler):
         if mass_inv is None:
             self.mass_inv = jnp.ones((dim,), dtype)
         else:
-            self.mass_inv = jnp.asarray(mass_inv, dtype).reshape(dim)
-        # p = scale·z with z ~ N(0, I) gives p ~ N(0, M) for M = diag(1/inv)
-        self.mass_scale = 1.0 / jnp.sqrt(self.mass_inv)
+            self.mass_inv = jnp.asarray(mass_inv, dtype)
+        self.dense_mass = self.mass_inv.ndim == 2
+        if self.dense_mass:
+            if backend == "pallas":
+                raise ValueError("dense mass_inv needs backend='xla'")
+            # p = L·z with L Lᵀ = M = (M⁻¹)⁻¹ gives p ~ N(0, M)
+            self.mass_scale = jnp.linalg.cholesky(jnp.linalg.inv(self.mass_inv))
+        else:
+            self.mass_inv = self.mass_inv.reshape(dim)
+            # p = scale·z, z ~ N(0, I) gives p ~ N(0, M) for M = diag(1/inv)
+            self.mass_scale = 1.0 / jnp.sqrt(self.mass_inv)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
@@ -133,17 +143,28 @@ class HMC(BatchSampler):
         k_u = jax.vmap(lambda kk: jax.random.fold_in(kk, 1))(k)
         # Per-chain momentum via per-chain keys keeps sampling invariant to
         # how chains are sharded across the mesh.
-        momentum = self.mass_scale * jax.vmap(
+        z = jax.vmap(
             lambda kk, shape_ref: jax.random.normal(kk, shape_ref.shape, dtype)
         )(k_mom, x)
-        inv = self.mass_inv
-        ke_current = 0.5 * jnp.sum(momentum * inv * momentum, axis=1)
+        if self.dense_mass:
+            momentum = z @ self.mass_scale.T  # [n, d] of L·z per chain
+            inv = self.mass_inv
+
+            def inv_mul(p):
+                return p @ inv.T  # symmetric, but keep the M⁻¹p orientation
+        else:
+            momentum = self.mass_scale * z
+            inv = self.mass_inv
+
+            def inv_mul(p):
+                return inv * p
+        ke_current = 0.5 * jnp.sum(momentum * inv_mul(momentum), axis=1)
 
         pos_new, mom_new, lp_new, grad_new = leapfrog(
             self._vgrad, x, momentum, grad, jnp.asarray(self.step_size, dtype),
-            self.n_leapfrog, mass_inv=inv,
+            self.n_leapfrog, inv_mul=inv_mul,
         )
-        ke_proposed = 0.5 * jnp.sum(mom_new * inv * mom_new, axis=1)
+        ke_proposed = 0.5 * jnp.sum(mom_new * inv_mul(mom_new), axis=1)
         log_accept = (lp_new - lp) + (ke_current - ke_proposed)
         u = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k_u)
         accept = jnp.log(u) < log_accept

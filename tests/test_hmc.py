@@ -130,3 +130,35 @@ def test_mass_matrix_hmc_pallas_interpret_matches():
     flat = s.reshape(-1, 2)
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.3)
     np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.2)
+
+
+def test_dense_mass_hmc_correlated_target():
+    """Dense M⁻¹ = target precision decorrelates a strongly correlated
+    Gaussian: moments (incl. the cross term) match and min-ESS beats the
+    diagonal metric."""
+    import numpy as np
+
+    from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+
+    cov = jnp.array([[1.0, 0.95], [0.95, 1.0]])
+    target = DiffableGaussian2D(mean=jnp.zeros(2), cov=cov)
+
+    # With M⁻¹ = Σ the whitened dynamics are a unit harmonic oscillator, so
+    # pick ε·L ≈ 1.4 rad (avoid the 2π resonance where trajectories return
+    # to their start and ESS collapses — empirically ε=0.8, L=8 does
+    # exactly that while still passing the moment checks).
+    dense = HMC(target, init_det(32, 2), 0.35, 4, mass_inv=cov).seed(5)
+    s = np.asarray(dense.run(800, 200))
+    flat = s.reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(flat.T), np.asarray(cov), atol=0.1)
+    _, ess_dense = split_rhat_mean_ess(s)
+    # near-iid draws: the whitened oscillator decorrelates in ~1 step
+    assert float(jnp.min(ess_dense)) > 0.4 * flat.shape[0]
+
+
+def test_dense_mass_rejected_on_pallas_backend():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dense"):
+        HMC(_gauss_target(), init_det(4, 2), 0.2, 5, backend="pallas",
+            mass_inv=jnp.eye(2))
