@@ -118,3 +118,18 @@ def test_pooled_rhat_sharded_matches_host():
     between = ((np.asarray(mean) - gm) ** 2).sum(axis=0) * (n_steps / (n_chains - 1))
     var = within * (n_steps - 1) / n_steps + between / n_steps
     np.testing.assert_allclose(rhat_dev, np.sqrt(var / within), rtol=1e-5)
+
+
+def test_tempering_sharded_matches_unsharded():
+    from general_mcmc_tpu import ReplicaExchange, geometric_temperatures
+
+    target = lambda x: -0.5 * jnp.sum(x * x)
+
+    def make():
+        return ReplicaExchange(
+            target, init_det(16, 2), geometric_temperatures(4, 8.0)
+        ).seed(2)
+
+    ref = np.asarray(make().run(20, 5))
+    sh = np.asarray(run_sharded(make(), 20, 5, chain_mesh()))
+    np.testing.assert_array_equal(sh, ref)
