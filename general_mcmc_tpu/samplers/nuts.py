@@ -209,8 +209,12 @@ class NUTS(BatchSampler):
         self._n_discard = n_discard
         total = n_collect + n_discard
         collect, window_end = _warmup_schedule(self.mass_config, n_discard, total)
-        self._collect_sched = jnp.asarray(collect)
-        self._window_sched = jnp.asarray(window_end)
+        # Trailing sentinel (False, False) + clamped lookup: step indices
+        # beyond ``total`` occur with thin > 1 and on resumed runs (absolute
+        # step_offset indices) — both are post-warmup by construction, so
+        # they must read "no adaptation", not an XLA-clamped last entry.
+        self._collect_sched = jnp.asarray(collect + [False])
+        self._window_sched = jnp.asarray(window_end + [False])
         # Fresh step-fn identity → fresh jit trace for the new schedule.
         self._step_fn = _StepFn(self._step, self._positions)
 
@@ -357,8 +361,9 @@ class NUTS(BatchSampler):
 
     # -- mass-matrix warmup -------------------------------------------------
     def _mass_adaptation(self, carry, m):
-        collect = self._collect_sched[m]
-        window_end = self._window_sched[m]
+        m_idx = jnp.minimum(m, self._collect_sched.shape[0] - 1)
+        collect = self._collect_sched[m_idx]
+        window_end = self._window_sched[m_idx]
         carry = dict(carry)
         carry["welford"] = self._welford_update(
             carry["welford"], carry["pos"], collect

@@ -250,3 +250,26 @@ def test_nuts_warmup_tree_depth_knob():
     assert float(jnp.max(rhat)) < 1.05
     flat = np.asarray(sample).reshape(-1, 2)
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.3)
+
+
+def test_nuts_thinning_with_adaptation_equals_strided():
+    """thin=k on NUTS (with mass warmup) matches the strided unthinned run
+    exactly — guards the schedule-index clamp for steps past the schedule
+    (silent XLA gather-clamping previously made thinned/resumed runs reuse
+    the last warmup entry)."""
+    import numpy as np
+
+    from general_mcmc_tpu import NUTSMassMatrixConfig
+
+    def make():
+        target = DiffableGaussian2D(
+            mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+        )
+        return NUTS(
+            target, init_det(4, 2), 0.8,
+            mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
+        ).set_seed(9)
+
+    full = np.asarray(make().run(30, 60))
+    thin = np.asarray(make().run(10, 60, thin=3))
+    np.testing.assert_array_equal(thin, full[:, 2::3])
