@@ -149,6 +149,15 @@ _FACTORIES = {
     "mala": lambda: MALA(GaussianND(mean=jnp.zeros(3), cov=jnp.ones(3)),
                          init_det(4, 3), 0.4),
     "gibbs": lambda: GibbsSampler(_cond, jnp.zeros((4, 3))),
+    # post-warmup NUTS (fixed ε): schedule clamping makes resume bit-exact
+    "nuts": lambda: NUTS(
+        DiffableGaussian2D(
+            mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+        ),
+        init_det(4, 2),
+        0.8,
+        step_size=0.3,
+    ),
 }
 
 
