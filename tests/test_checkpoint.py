@@ -149,6 +149,11 @@ _FACTORIES = {
     "mala": lambda: MALA(GaussianND(mean=jnp.zeros(3), cov=jnp.ones(3)),
                          init_det(4, 3), 0.4),
     "gibbs": lambda: GibbsSampler(_cond, jnp.zeros((4, 3))),
+    "tempering": lambda: __import__("general_mcmc_tpu").ReplicaExchange(
+        lambda x: -0.5 * jnp.sum(x * x),
+        init_det(4, 2),
+        jnp.array([1.0, 4.0, 16.0]),
+    ),
     # post-warmup NUTS (fixed ε): schedule clamping makes resume bit-exact
     "nuts": lambda: NUTS(
         DiffableGaussian2D(
