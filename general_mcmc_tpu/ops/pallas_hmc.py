@@ -125,6 +125,7 @@ def _hmc_kernel(
     n_discard: int,
     seed: int,
     interpret: bool,
+    use_mass: bool,
 ):
     n_consts = len(const_shapes)
     const_refs = refs[:n_consts]
@@ -154,18 +155,26 @@ def _hmc_kernel(
     x = pos_ref[:]
     lp = lp_ref[:]
     grad = grad_ref[:]
-    inv = inv_ref[:]  # broadcasts [1, d] over the [B, d] batch
-    scale = scale_ref[:]
     eps = jnp.float32(step_size)
     half = jnp.float32(0.5) * eps
 
-    mom = scale * _standard_normal(x.shape)
-    ke0 = 0.5 * jnp.sum(mom * (inv * mom), axis=1, keepdims=True)
+    if use_mass:
+        # [1, d] rows broadcast over the [B, d] batch's sublanes.  This
+        # path is interpret-validated; ``use_mass`` is a trace-time gate so
+        # the long-benchmarked identity-mass kernel stays bit-identical.
+        inv = inv_ref[:]
+        scale = scale_ref[:]
+        inv_mul = lambda m: inv * m
+        mom = scale * _standard_normal(x.shape)
+    else:
+        inv_mul = lambda m: m
+        mom = _standard_normal(x.shape)
+    ke0 = 0.5 * jnp.sum(mom * inv_mul(mom), axis=1, keepdims=True)
 
     def body(_, carry):
         p, m, g, _lp = carry
         m = m + g * half
-        p = p + inv * m * eps
+        p = p + inv_mul(m) * eps
         lp_new, g = vg_fn(p)
         m = m + g * half
         return (p, m, g, lp_new)
@@ -174,7 +183,7 @@ def _hmc_kernel(
         0, n_leapfrog, body, (x, mom, grad, lp)
     )
 
-    ke1 = 0.5 * jnp.sum(m_new * (inv * m_new), axis=1, keepdims=True)
+    ke1 = 0.5 * jnp.sum(m_new * inv_mul(m_new), axis=1, keepdims=True)
     log_accept = (lp_new - lp) + (ke0 - ke1)  # [B, 1]
     u = _uniform_01((x.shape[0], 1))
     accept = jnp.log(u) < log_accept  # [B, 1]
@@ -226,10 +235,13 @@ def fused_hmc_run(
     # the XLA runner: sample k = post-step state (k+1)·thin - 1).
     total = n_collect * thin + n_discard
 
-    if mass_inv is None:
-        inv_row = jnp.ones((1, d), jnp.float32)
-    else:
+    use_mass = mass_inv is not None and bool(
+        jnp.any(jnp.asarray(mass_inv, jnp.float32) != 1.0)
+    )
+    if use_mass:
         inv_row = jnp.asarray(mass_inv, jnp.float32).reshape(1, d)
+    else:
+        inv_row = jnp.ones((1, d), jnp.float32)
     scale_row = 1.0 / jnp.sqrt(inv_row)
 
     def vg_fn(x):
@@ -259,6 +271,7 @@ def fused_hmc_run(
         n_discard=int(n_discard),
         seed=int(seed),
         interpret=bool(interpret),
+        use_mass=use_mass,
     )
 
     full_vmem = lambda a: pl.BlockSpec(

@@ -95,8 +95,19 @@ class HMC(BatchSampler):
         if self.dense_mass:
             if backend == "pallas":
                 raise ValueError("dense mass_inv needs backend='xla'")
-            # p = L·z with L Lᵀ = M = (M⁻¹)⁻¹ gives p ~ N(0, M)
-            self.mass_scale = jnp.linalg.cholesky(jnp.linalg.inv(self.mass_inv))
+            # p = S·z with S Sᵀ = M = (M⁻¹)⁻¹ gives p ~ N(0, M).  Factor
+            # M⁻¹ = L Lᵀ and use S = L⁻ᵀ (one Cholesky + triangular solve;
+            # no explicit inverse — the pattern the NUTS warmup uses, and
+            # numerically consistent with the kinetic energy's M⁻¹ for
+            # ill-conditioned metrics).
+            from jax.scipy.linalg import solve_triangular
+
+            chol = jnp.linalg.cholesky(self.mass_inv)
+            if not bool(jnp.all(jnp.isfinite(chol))):
+                raise ValueError("dense mass_inv must be symmetric positive definite")
+            self.mass_scale = solve_triangular(
+                chol, jnp.eye(dim, dtype=dtype), lower=True
+            ).T
         else:
             self.mass_inv = self.mass_inv.reshape(dim)
             # p = scale·z, z ~ N(0, I) gives p ~ N(0, M) for M = diag(1/inv)

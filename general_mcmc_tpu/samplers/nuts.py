@@ -213,8 +213,10 @@ class NUTS(BatchSampler):
         # beyond ``total`` occur with thin > 1 and on resumed runs (absolute
         # step_offset indices) — both are post-warmup by construction, so
         # they must read "no adaptation", not an XLA-clamped last entry.
-        self._collect_sched = jnp.asarray(collect + [False])
-        self._window_sched = jnp.asarray(window_end + [False])
+        # (list() first: schedules arrive as numpy bool arrays, for which
+        # `arr + [False]` would be elementwise OR, not an append)
+        self._collect_sched = jnp.asarray(list(collect) + [False])
+        self._window_sched = jnp.asarray(list(window_end) + [False])
         # Fresh step-fn identity → fresh jit trace for the new schedule.
         self._step_fn = _StepFn(self._step, self._positions)
 

@@ -60,10 +60,22 @@ class ReplicaExchange(BatchSampler):
                  swap_every: int = 1, seed=0):
         self.target: Callable = as_logp_fn(target)
         self.initial_states = jnp.asarray(initial_states)
-        self.temperatures = jnp.asarray(temperatures)
+        if not jnp.issubdtype(self.initial_states.dtype, jnp.floating):
+            self.initial_states = self.initial_states.astype(jnp.float32)
+        self.temperatures = jnp.asarray(temperatures, jnp.float64).astype(
+            self.initial_states.dtype
+        )
         if self.temperatures.ndim != 1 or self.temperatures.shape[0] < 2:
             raise ValueError("temperatures must be a 1-D ladder of >= 2 rungs")
-        self.betas = (1.0 / self.temperatures).astype(self.initial_states.dtype)
+        t_np = jax.device_get(self.temperatures)
+        if abs(float(t_np[0]) - 1.0) > 1e-6:
+            raise ValueError(
+                f"temperatures[0] must be 1.0 (the cold chain whose samples "
+                f"are returned), got {float(t_np[0])}"
+            )
+        if not (t_np[1:] > t_np[:-1]).all():
+            raise ValueError("temperatures must be strictly ascending")
+        self.betas = 1.0 / self.temperatures
         self.scale = float(scale)
         self.swap_every = int(swap_every)
         super().__init__(n_chains=self.initial_states.shape[0], seed=seed)

@@ -24,15 +24,26 @@ class BuildNativeIO(build_ext):
     def run(self):
         root = Path(__file__).parent
         src = root / "csrc" / "fastio.cpp"
+        if not src.exists():
+            # sdists without csrc/ and bare checkouts: pure-Python install;
+            # io/native.py falls back to a lazy build or pyarrow at runtime.
+            print("csrc/fastio.cpp not found; skipping native IO kernel")
+            return
         # --inplace: write into the source tree; wheel builds: into build_lib
         dest_root = root if self.inplace else Path(self.build_lib)
         out = dest_root / _PKG_SO
         out.parent.mkdir(parents=True, exist_ok=True)
         cxx = os.environ.get("CXX", "g++")
-        subprocess.run(
-            [cxx, "-O3", "-std=c++17", "-shared", "-fPIC", str(src), "-o", str(out)],
-            check=True,
-        )
+        try:
+            subprocess.run(
+                [cxx, "-O3", "-std=c++17", "-shared", "-fPIC", str(src),
+                 "-o", str(out)],
+                check=True,
+            )
+        except (OSError, subprocess.CalledProcessError) as e:
+            # No compiler (source installs on minimal images): install
+            # proceeds pure-Python, matching the documented fallback chain.
+            print(f"native IO kernel build skipped ({e}); pyarrow fallback applies")
 
 
 class BinaryDistribution(Distribution):

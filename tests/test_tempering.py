@@ -87,3 +87,20 @@ def test_runner_integration():
         .seed(1).run(40, 10)
     )
     np.testing.assert_array_equal(thin, full[:, 3::4])
+
+
+def test_ladder_must_start_at_one_and_ascend():
+    with pytest.raises(ValueError, match="temperatures\\[0\\]"):
+        ReplicaExchange(lambda x: 0.0, init_det(2, 1), jnp.array([2.0, 8.0]))
+    with pytest.raises(ValueError, match="ascending"):
+        ReplicaExchange(lambda x: 0.0, init_det(2, 1), jnp.array([1.0, 8.0, 4.0]))
+
+
+def test_integer_inits_are_cast():
+    pt = ReplicaExchange(
+        lambda x: -0.5 * jnp.sum(x * x),
+        jnp.zeros((4, 2), jnp.int32),
+        jnp.array([1.0, 4.0]),
+    ).seed(0)
+    s = pt.run(5, 0)
+    assert jnp.issubdtype(s.dtype, jnp.floating)
