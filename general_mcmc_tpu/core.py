@@ -172,8 +172,9 @@ def run_kernel_progress_stream(
     fresh compile at every distinct remainder-chunk length).  A streaming
     :class:`~..diagnostics.stats.MultiChainTracker` state rides in the scan
     carry, and every ``stride`` steps an ordered ``io_callback`` emits three
-    scalars — ``hook(steps_done, max_rhat, p_accept)`` — so the host sees
-    O(1) bytes per tick instead of the state block.  This is the closest
+    scalars plus the first ≤5 chains' acceptance EWMAs —
+    ``hook(steps_done, max_rhat, p_accept, p_chain_head)`` — so the host
+    sees O(1) bytes per tick instead of the state block.  This is the closest
     analog of the reference's 1 Hz mpsc ``ChainStats`` messages
     (core.rs:151-175): sufficient statistics leave the device, samples never
     do.
@@ -196,12 +197,16 @@ def run_kernel_progress_stream(
             jnp.max(jnp.where(finite, rhat, -jnp.inf)),
             jnp.nan,
         )
+        # first ≤5 chains' acceptance EWMAs — the chain-bar statistic
+        # (core.rs:288-306); O(1) bytes regardless of n_chains
+        n_head = min(5, tstate.p_chain.shape[0])
         io_callback(
             hook,
             None,
             done,
             max_rhat.astype(jnp.float32),
             tstate.p_accept.astype(jnp.float32),
+            tstate.p_chain[:n_head].astype(jnp.float32),
             ordered=True,
         )
 
@@ -254,6 +259,7 @@ def run_kernel_progress_stream(
             last_state=zeros,
             mean=zeros,
             mean_sq=zeros,
+            p_chain=jnp.full((x0.shape[0],), -1.0, jnp.float32),
         )
         aug = (carry, tstate)
         if n_discard:

@@ -74,6 +74,9 @@ class _TrackerState(NamedTuple):
     last_state: jax.Array
     mean: jax.Array
     mean_sq: jax.Array
+    # Per-chain acceptance EWMA ([n_chains]; multi-chain tracking only —
+    # None for the single-chain ChainTracker, whose p_accept IS per-chain).
+    p_chain: jax.Array | None = None
 
 
 def _tracker_update(state: _TrackerState, x: jax.Array) -> _TrackerState:
@@ -124,6 +127,11 @@ def _multi_update(state: _TrackerState, x: jax.Array) -> _TrackerState:
     The acceptance EWMA is folded sequentially across chains within the step
     (stats.rs:260-265); the closed form below reproduces that fold exactly:
     p' = (1-a)^C p + a * sum_i (1-a)^(C-1-i) * accepted_i.
+
+    ``p_chain`` additionally keeps a plain per-chain acceptance EWMA (the
+    per-chain figure the reference's chain progress bars display,
+    core.rs:288-306); it starts at the first observed accept/reject rather
+    than decaying from a sentinel.
     """
     n = state.n + 1
     nf = n.astype(state.mean.dtype)
@@ -133,7 +141,9 @@ def _multi_update(state: _TrackerState, x: jax.Array) -> _TrackerState:
     c = accepted.shape[0]
     decay = (1.0 - ALPHA) ** jnp.arange(c - 1, -1, -1, dtype=state.p_accept.dtype)
     p_accept = (1.0 - ALPHA) ** c * state.p_accept + ALPHA * jnp.sum(decay * accepted)
-    return _TrackerState(n, p_accept, x, mean, mean_sq)
+    p_start = jnp.where(state.p_chain >= 0.0, state.p_chain, accepted)
+    p_chain = (1.0 - ALPHA) * p_start + ALPHA * accepted
+    return _TrackerState(n, p_accept, x, mean, mean_sq, p_chain)
 
 
 def _multi_within_and_var(state: _TrackerState):
@@ -161,6 +171,7 @@ class MultiChainTracker:
             last_state=jnp.zeros((n_chains, n_params), dtype),
             mean=jnp.zeros((n_chains, n_params), dtype),
             mean_sq=jnp.zeros((n_chains, n_params), dtype),
+            p_chain=jnp.full((n_chains,), -1.0, dtype),
         )
         self._update = jax.jit(_multi_update)
         self._update_batch = jax.jit(
@@ -170,6 +181,13 @@ class MultiChainTracker:
     @property
     def p_accept(self) -> float:
         return float(self._state.p_accept)
+
+    @property
+    def p_accept_chain(self):
+        """Per-chain acceptance EWMA ([n_chains] array; the reference's
+        chain-bar statistic, core.rs:288-306).  Entries are -1 until the
+        chain has been stepped once."""
+        return self._state.p_chain
 
     def step(self, x):
         self._state = self._update(self._state, jnp.asarray(x, self._state.mean.dtype))

@@ -39,9 +39,11 @@ class _StepFn:
 
 
 class _LatestStats:
-    """Renderer-facing view of the last streamed (max_rhat, p_accept) pair."""
+    """Renderer-facing view of the last streamed (max_rhat, p_accept,
+    per-chain p_accept) tick."""
 
     p_accept = float("nan")
+    p_accept_chain = None
     _max_rhat = float("nan")
 
     def max_rhat(self) -> float:
@@ -152,8 +154,9 @@ class BatchSampler:
         if mode == "stream":
             stats = _LatestStats()
 
-            def hook(done, max_rhat, p_accept):
+            def hook(done, max_rhat, p_accept, p_chain_head):
                 stats.p_accept = float(p_accept)
+                stats.p_accept_chain = p_chain_head
                 stats._max_rhat = float(max_rhat)
                 if renderer is not None:
                     renderer.update(int(done), stats)

@@ -217,8 +217,19 @@ class NUTS(BatchSampler):
         # `arr + [False]` would be elementwise OR, not an append)
         self._collect_sched = jnp.asarray(list(collect) + [False])
         self._window_sched = jnp.asarray(list(window_end) + [False])
-        # Fresh step-fn identity → fresh jit trace for the new schedule.
-        self._step_fn = _StepFn(self._step, self._positions)
+        # The step fn closes over the (n_collect, n_discard)-derived schedule
+        # at trace time, so the jitted runner is keyed on the _StepFn's
+        # identity.  Cache one per run-shape: repeat runs with the same
+        # lengths reuse the compiled program instead of retracing (a 20+ min
+        # recompile through the TPU tunnel).  Mutating sampler config between
+        # runs is not supported (construct a new sampler instead).
+        cache = getattr(self, "_stepfn_cache", None)
+        if cache is None:
+            cache = self._stepfn_cache = {}
+        key = (n_collect, n_discard)
+        if key not in cache:
+            cache[key] = _StepFn(self._step, self._positions)
+        self._step_fn = cache[key]
 
     # -- carry --------------------------------------------------------------
     def _init_carry(self):

@@ -47,6 +47,7 @@ class ProgressRenderer:
             return
         self._last_draw = now
         msg = ""
+        p_chain = None
         if tracker is not None:
             try:
                 p_acc = tracker.p_accept
@@ -54,9 +55,15 @@ class ProgressRenderer:
                 msg = f"p(accept)≈{p_acc:.2f} max(rhat)≈{max_rhat:.2f}"
             except Exception:  # pragma: no cover - display only
                 msg = ""
+            # per-chain acceptance for the chain bars (core.rs:288-306);
+            # entries < 0 mean "no step observed yet" and display blank
+            p_chain = getattr(tracker, "p_accept_chain", None)
         lines = [_bar("Global", done * self.n_chains, self.total * self.n_chains, msg)]
         for i in range(self.n_bars):
-            lines.append(_bar(f"Chain {i}", done, self.total, ""))
+            cmsg = ""
+            if p_chain is not None and i < len(p_chain) and float(p_chain[i]) >= 0.0:
+                cmsg = f"p(accept)≈{float(p_chain[i]):.2f}"
+            lines.append(_bar(f"Chain {i}", done, self.total, cmsg))
         self._draw(lines)
 
     def _draw(self, lines):

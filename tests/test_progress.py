@@ -29,6 +29,35 @@ def test_renderer_draws_bars_and_stats():
     assert re.search(r"300/300", out)
 
 
+def test_renderer_per_chain_p_accept():
+    """Chain bars carry *per-chain* acceptance (core.rs:288-306), not a
+    cosmetic copy of the global stat — each bar shows its own value and the
+    values update between draws."""
+    buf = io.StringIO()
+    r = ProgressRenderer(n_chains=3, total_steps=10, stream=buf, min_interval=0.0)
+    tracker = MultiChainTracker(3, 2)
+    # chain 0 rejects (state frozen), chains 1-2 accept every step
+    tracker.step(jnp.asarray([[1.0, 1.0], [1.0, 1.0], [2.0, 2.0]]))
+    tracker.step(jnp.asarray([[1.0, 1.0], [3.0, 1.0], [4.0, 2.0]]))
+    r.update(5, tracker)
+    first = buf.getvalue()
+    chain_lines = [l for l in first.splitlines() if l.startswith("Chain")]
+    vals = [re.search(r"p\(accept\)≈([\d.]+)", l) for l in chain_lines]
+    assert all(v is not None for v in vals)
+    assert float(vals[0].group(1)) < float(vals[1].group(1))  # 0 rejects
+    assert vals[1].group(1) == vals[2].group(1)
+    # acceptance moves when chain 0 starts accepting (enough steps for the
+    # EWMA to cross the 2-decimal display resolution: 0.99 -> 1.00)
+    for _ in range(150):
+        tracker.step(tracker._state.last_state + 1.0)
+    buf2 = io.StringIO()
+    r2 = ProgressRenderer(n_chains=3, total_steps=10, stream=buf2, min_interval=0.0)
+    r2.update(9, tracker)
+    lines2 = [l for l in buf2.getvalue().splitlines() if l.startswith("Chain")]
+    v0_new = float(re.search(r"p\(accept\)≈([\d.]+)", lines2[0]).group(1))
+    assert v0_new > float(vals[0].group(1))
+
+
 def test_renderer_caps_chain_bars():
     buf = io.StringIO()
     r = ProgressRenderer(n_chains=100, total_steps=10, stream=buf, min_interval=0.0)
@@ -70,8 +99,8 @@ def test_stream_mode_hook_cadence_and_values(capsys):
     ticks = []
     out = run_kernel_progress_stream(
         mh._step_fn, mh._init_carry(), 100, 60,
-        lambda done, rhat, pacc: ticks.append(
-            (int(done), float(rhat), float(pacc))
+        lambda done, rhat, pacc, pchain: ticks.append(
+            (int(done), float(rhat), float(pacc), pchain)
         ),
         stride=64,
     )
@@ -126,7 +155,9 @@ def test_stream_mode_p_accept_matches_chunked():
     ticks = []
     out = run_kernel_progress_stream(
         mh._step_fn, mh._init_carry(), 64, 0,
-        lambda done, rhat, pacc: ticks.append((int(done), float(pacc))),
+        lambda done, rhat, pacc, pchain: ticks.append(
+            (int(done), float(pacc), pchain)
+        ),
         stride=64,
     )
     tracker = MultiChainTracker(4, 2)
@@ -134,6 +165,14 @@ def test_stream_mode_p_accept_matches_chunked():
     assert ticks[0][0] == 64
     assert abs(ticks[0][1] - tracker.p_accept) < 1e-5
     assert 0.0 <= ticks[0][1] <= 1.0
+    # per-chain head matches the chunked tracker's per-chain EWMA too
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(ticks[0][2]),
+        np.asarray(tracker.p_accept_chain[:4]),
+        atol=1e-5,
+    )
 
 
 def test_steps_done_after_run_progress(tmp_path):
