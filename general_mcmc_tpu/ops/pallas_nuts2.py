@@ -28,15 +28,20 @@ Inherits v1's Mosaic layout rules (module docstring there): f32 mask
 algebra, no numeric i32↔f32 [B,1] casts, lane reductions via a
 [B,d]@[d,1] matvec, explicit ``pltpu.repeat`` lane broadcasts.
 
-STATUS: compiles and samples correctly on v5e (moments validated at
-512×2: 600 fused transitions in 2.0s).  At 10240×100 Mosaic's scoped-VMEM
-stack still caps block_chains at 64 (~21 MB requested at B=128 — the
-stack appears to hold every body temporary live), and 160 sequential
-blocks leave throughput at 7.3e6 grad-evals/s vs 2.05e7 for the XLA tree
-under identical steady-state conditions.  The algorithmic structure is
-now right (4 µs per leaf-iteration at B=64); the remaining blocker is
-purely Mosaic temp allocation — if B=512 fits, this kernel projects to
-~6× the XLA tree.  Tracked in docs/ROADMAP.md.
+STATUS: compiles and samples on v5e.  Round-2 found and fixed a
+correctness bug: the checkpoint stacks are scratch VMEM, which starts
+UNINITIALIZED, and the masked stores are arithmetic blends
+``old + (new-old)·mask`` — a NaN/garbage ``old`` poisons the slot for
+mask=1 too, silently disabling every within-subtree U-turn check
+(≈57% marginal-std inflation at depth 5).  The stacks are now zeroed per
+transition; the kernel is validated bit-exactly against a sequential
+numpy oracle driving reference semantics with the replicated PRNG stream
+(tests/test_pallas_oracle.py).  Perf (round-1 numbers, re-measure): at
+10240×100 Mosaic's scoped-VMEM stack capped block_chains at 64 (~21 MB
+requested at B=128 — the stack appears to hold every body temporary
+live), 7.3e6 grad-evals/s vs 2.05e7 for the XLA tree; ``vmem_limit_mb``
+now raises the cap (scripts/exp_nuts2.py sweeps it).  If B=512 fits,
+this kernel projects to ~6× the XLA tree.  Tracked in docs/ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -145,6 +150,17 @@ def _nuts2_kernel(
                       (_PROP, x), (_PROP_G, g0), (_SPROP, x),
                       (_SPROP_G, g0)):
         st[slot] = val
+    # Scratch VMEM is UNINITIALIZED at kernel start (NaN under the
+    # interpreter, garbage on hardware).  The checkpoint stores below are
+    # arithmetic blends ``old + (new - old)·mask`` — a NaN/inf ``old``
+    # poisons the store even for mask=1, silently killing every
+    # within-subtree U-turn check (f(NaN < 0) = False).  Zero the stacks
+    # once per transition so the first store into each slot is exact.
+    zero_bd = x * 0.0
+    for s_ in range(max_depth):
+        pos_ck[s_] = zero_bd
+        vel_ck[s_] = zero_bd
+        c1_ck[s_] = fzero
     sc[_PROP_LP] = lp0
     sc[_SPROP_LP] = lp0
     sc[_V] = fone
@@ -316,10 +332,17 @@ def pallas_nuts2_step(
     max_depth: int = 10,
     block_chains: int = 256,
     interpret: bool = False,
+    vmem_limit_mb: float | None = None,
 ):
     """One NUTS transition for all chains via the v2 fused kernel.
 
     Same contract as :func:`.pallas_nuts.pallas_nuts_step`.
+
+    ``vmem_limit_mb`` raises Mosaic's scoped-VMEM budget (the default
+    ~16 MB limit is what capped ``block_chains`` at 64 in round 1: the
+    compiler keeps every loop-body temporary live, ~21 MB at B=128, even
+    though the declared scratch is <2 MB).  v5e VMEM is large enough to
+    host much bigger blocks when the cap is lifted.
     """
     n, d = pos.shape
     if n % block_chains != 0:
@@ -356,8 +379,15 @@ def pallas_nuts2_step(
         a.shape, lambda b: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
     )
 
+    compiler_params = None
+    if vmem_limit_mb is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb * 1024 * 1024)
+        )
+
     outs = pl.pallas_call(
         kernel,
+        compiler_params=compiler_params,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [blk(d), blk(1), blk(d), blk(1), blk(d), blk(d)]
