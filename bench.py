@@ -49,8 +49,13 @@ if os.environ.get("GMT_BENCH_PLATFORM"):
 
 # Workload constants; GMT_BENCH_* env overrides exist for experiments only
 # (the driver's invocation uses the defaults).
+# GMT_BENCH_WORKLOAD=logistic switches to the BASELINE.md stretch workload:
+# hierarchical logistic regression (models/regression.py), where the
+# vmapped likelihood X·β batches into a real MXU matmul.
+WORKLOAD = os.environ.get("GMT_BENCH_WORKLOAD", "gauss")
 N_CHAINS = int(os.environ.get("GMT_BENCH_CHAINS", 10_240))
 DIM = int(os.environ.get("GMT_BENCH_DIM", 100))
+N_OBS = int(os.environ.get("GMT_BENCH_OBS", 256))  # logistic only
 N_COLLECT = int(os.environ.get("GMT_BENCH_COLLECT", 1024))
 N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 384))
 MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 8))
@@ -79,8 +84,22 @@ def build_sampler():
         init_with_seed,
     )
 
-    scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM)).astype(jnp.float32)
-    target = GaussianND(mean=jnp.zeros(DIM, jnp.float32), cov=scales)
+    global DIM
+    if WORKLOAD == "logistic":
+        from general_mcmc_tpu.models.regression import (
+            HierarchicalLogistic,
+            make_logistic_data,
+        )
+
+        p = DIM - 2  # θ = [μ, log τ, β₁..β_p]
+        X, y, _ = make_logistic_data(jax.random.PRNGKey(1), N_OBS, p)
+        target = HierarchicalLogistic(X, y)
+        assert target.dim == DIM
+    else:
+        scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM)).astype(
+            jnp.float32
+        )
+        target = GaussianND(mean=jnp.zeros(DIM, jnp.float32), cov=scales)
     return NUTS(
         target,
         init_with_seed(N_CHAINS, DIM, SEED),
@@ -129,11 +148,18 @@ def _roofline(leapfrogs: int, wall: float) -> str:
     )
 
 
+_WL_DESC = (
+    f"{DIM}-d hierarchical logistic (n_obs={N_OBS})"
+    if WORKLOAD == "logistic"
+    else f"{DIM}-d ill-conditioned Gaussian"
+)
+
+
 def _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, note=""):
     print(
         json.dumps(
             {
-                "metric": f"min-ESS/sec, NUTS {DIM}-d ill-conditioned Gaussian, "
+                "metric": f"min-ESS/sec, NUTS {_WL_DESC}, "
                 f"{N_CHAINS} chains ({N_WARMUP} warmup + {N_COLLECT} collected), "
                 f"max R-hat {rhat_max:.4f}, {grad_evals_per_sec:.3g} grad-evals/s"
                 + note,
@@ -161,7 +187,19 @@ def _measure_and_emit(sampler, sample, wall, note=""):
         f"min_ess/s={min_ess_per_sec:.3g}",
         file=sys.stderr,
     )
-    print(_roofline(leapfrogs, wall), file=sys.stderr)
+    if WORKLOAD == "logistic":
+        # Likelihood matmul FLOPs per chain-leapfrog: forward X·β
+        # (2·n_obs·p) + backward Xᵀ·residual (2·n_obs·p).  This is the MXU
+        # utilization figure VERDICT round 1 #9 asks for (f32 run, peak
+        # quoted as the v5e bf16 197 TFLOP/s for a stable denominator).
+        flops = leapfrogs * 4 * N_OBS * (DIM - 2)
+        print(
+            f"MXU: {flops / wall / 1e12:.3f} TFLOP/s "
+            f"({flops / wall / 197e12 * 100:.2f}% of v5e bf16 peak)",
+            file=sys.stderr,
+        )
+    else:
+        print(_roofline(leapfrogs, wall), file=sys.stderr)
     if rhat_max >= 1.01:
         print(f"WARNING: R-hat {rhat_max:.3f} >= 1.01", file=sys.stderr)
     _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, note)

@@ -428,6 +428,62 @@ class TreeStepResult(NamedTuple):
     leapfrogs: jax.Array  # total gradient evaluations this step
 
 
+def _first_doubling(c, eps, logu, joint0, mass, dense, vg_fn):
+    """The j=0 doubling as straight-line code: one leapfrog, no checkpoint
+    stack, no leaf-B evaluation.  Consumes the same outer key splits as the
+    generic loop body, so the transition's RNG stream (and therefore the
+    whole trajectory) is bit-identical to the un-peeled version."""
+    dtype = c["pos_m"].dtype
+    one = jnp.asarray(1.0, dtype)
+    key, kv, kswap, _ktree = jax.random.split(c["key"], 4)
+    v = jnp.where(
+        jax.random.uniform(kv, (), dtype) < 0.5,
+        jnp.asarray(-1, jnp.int32),
+        jnp.asarray(1, jnp.int32),
+    )
+    backward = v == -1
+    eps_v = eps * v.astype(dtype)
+
+    pA, mA, lpA, gA = leapfrog_chain(
+        vg_fn, c["pos_m"], c["mom_m"], c["grad_m"], eps_v, mass, dense
+    )
+    jointA = lpA - 0.5 * jnp.dot(mA, inv_mass_mul(mass, mA, dense))
+    validA = logu < jointA
+    okA = (logu - jnp.asarray(DELTA_MAX, dtype)) < jointA
+    nA = validA.astype(jnp.int32)
+    alphaA = jnp.minimum(one, jnp.exp(jointA - joint0))
+
+    pos_m = jnp.where(backward, pA, c["pos_m"])
+    mom_m = jnp.where(backward, mA, c["mom_m"])
+    grad_m = jnp.where(backward, gA, c["grad_m"])
+    pos_p = jnp.where(backward, c["pos_p"], pA)
+    mom_p = jnp.where(backward, c["mom_p"], mA)
+    grad_p = jnp.where(backward, c["grad_p"], gA)
+
+    u = jax.random.uniform(kswap, (), dtype)
+    take = okA & (u * c["n"].astype(dtype) < nA.astype(dtype))
+    s = okA & _stop_criterion(pos_m, pos_p, mom_m, mom_p, mass, dense)
+    return dict(
+        j=c["j"] + 1,
+        key=key,
+        pos_m=pos_m,
+        mom_m=mom_m,
+        grad_m=grad_m,
+        pos_p=pos_p,
+        mom_p=mom_p,
+        grad_p=grad_p,
+        prop_pos=jnp.where(take, pA, c["prop_pos"]),
+        prop_lp=jnp.where(take, lpA, c["prop_lp"]),
+        prop_grad=jnp.where(take, gA, c["prop_grad"]),
+        n=c["n"] + nA,
+        s=s,
+        diverged=c["diverged"] | ~okA,
+        alpha=alphaA,
+        n_alpha=jnp.asarray(1, jnp.int32),
+        leapfrogs=c["leapfrogs"] + 1,
+    )
+
+
 def nuts_tree_step(
     key,
     pos,
@@ -468,6 +524,22 @@ def nuts_tree_step(
         n_alpha=jnp.asarray(1, jnp.int32),
         leapfrogs=jnp.asarray(0, jnp.int32),
     )
+    if max_depth == 0:
+        return TreeStepResult(
+            pos=pos, lp=lp, grad=grad, alpha=init["alpha"],
+            n_alpha=init["n_alpha"], depth=init["j"],
+            diverged=init["diverged"], leapfrogs=init["leapfrogs"],
+        )
+    # Peel the first doubling (every chain runs it exactly once): its
+    # subtree is a single leaf, and the generic pair-iteration in
+    # build_subtree would evaluate a second, discarded leapfrog for it
+    # (leaf B masked by ``has_b``) — under vmap that is a wasted gradient
+    # eval for the whole batch on every transition.  The straight-line
+    # single-leaf form below consumes the same outer key splits, so the
+    # RNG stream is identical to the un-peeled loop; values agree up to
+    # XLA fusion rounding (a few ulp — FMA contraction differs between
+    # the loop body and straight-line compilations).
+    init = _first_doubling(init, eps, logu, joint0, mass, dense, vg_fn)
 
     def cond(c):
         return c["s"] & (c["j"] < max_depth)
