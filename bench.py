@@ -59,6 +59,9 @@ N_OBS = int(os.environ.get("GMT_BENCH_OBS", 256))  # logistic only
 N_COLLECT = int(os.environ.get("GMT_BENCH_COLLECT", 1024))
 N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 384))
 MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 8))
+# NUTS backend: "xla" (default) | "pallas" | "pallas2" (fused kernels), with
+# optional GMT_BENCH_BLOCK (chains/kernel block) and GMT_BENCH_VMEM (MB).
+BACKEND = os.environ.get("GMT_BENCH_BACKEND", "xla")
 SEED = 0
 # Total wall-clock budget; measured attempts stop (and retries are skipped)
 # once it is spent.  The driver's observed window is ~30 min — leave slack.
@@ -112,6 +115,15 @@ def build_sampler():
         # at caps 8/6/5/4 — see docs/BENCH_HISTORY.md).
         warmup_tree_depth=4,
         seed=SEED,
+        backend=BACKEND,
+        pallas_options={
+            k: int(os.environ[e])
+            for k, e in (
+                ("block_chains", "GMT_BENCH_BLOCK"),
+                ("vmem_limit_mb", "GMT_BENCH_VMEM"),
+            )
+            if e in os.environ
+        },
     )
 
 

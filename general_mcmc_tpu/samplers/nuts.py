@@ -148,9 +148,15 @@ class NUTS(BatchSampler):
     mass_config : :class:`NUTSMassMatrixConfig`; default disabled, matching
         the reference façade (generic_nuts.rs:370-377) — pass
         ``NUTSMassMatrixConfig()`` for Stan-style diagonal adaptation.
-    backend : ``"xla"`` (vmapped while_loop tree) or ``"pallas"`` (fused
-        VMEM-resident kernel, :mod:`..ops.pallas_nuts`; TPU only,
-        identity/diagonal mass, hardware-PRNG stream).
+    backend : ``"xla"`` (vmapped while_loop tree), ``"pallas"`` (fused
+        VMEM-resident kernel, flat per-chain schedule,
+        :mod:`..ops.pallas_nuts`) or ``"pallas2"`` (fused kernel,
+        block-synchronized schedule, :mod:`..ops.pallas_nuts2`).  The
+        fused backends are TPU only, identity/diagonal mass, and use the
+        hardware-PRNG stream.
+    pallas_options : optional dict of fused-kernel tuning knobs:
+        ``block_chains`` (chains per kernel block) and ``vmem_limit_mb``
+        (Mosaic scoped-VMEM budget; pallas2 only).
     warmup_tree_depth : optional smaller doubling cap used during warmup
         only.  Pre-adaptation metrics make early trees hit the depth cap,
         and under vmap every chain pays the deepest tree in the batch; a
@@ -169,6 +175,7 @@ class NUTS(BatchSampler):
         mass_config: NUTSMassMatrixConfig | None = None,
         backend: str = "xla",
         warmup_tree_depth: int | None = None,
+        pallas_options: dict | None = None,
     ):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
@@ -190,14 +197,12 @@ class NUTS(BatchSampler):
             raise ValueError(f"unknown adaptation {cfg.adaptation!r}")
         self.mass_config = cfg
         self._dense = cfg.adaptation == "dense"
-        if backend not in ("xla", "pallas"):
+        if backend not in ("xla", "pallas", "pallas2"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pallas" and self._dense:
-            raise ValueError("pallas backend supports identity/diagonal mass only")
-        # The fused NUTS kernel is experimental: it passes under the Pallas
-        # interpreter but current hardware Mosaic rejects it (see
-        # ops/pallas_nuts.py docstring).  HMC's fused kernel is production.
+        if backend.startswith("pallas") and self._dense:
+            raise ValueError("pallas backends support identity/diagonal mass only")
         self.backend = backend
+        self.pallas_options = dict(pallas_options or {})
         self._vg = jax.value_and_grad(self.target)
         self._n_discard = 0
         self._collect_sched = jnp.zeros(1, bool)
@@ -282,9 +287,13 @@ class NUTS(BatchSampler):
         dtype = carry["pos"].dtype
         m1 = (m + 1).astype(dtype)  # 1-based step number
 
-        if self.backend == "pallas":
-            from ..ops.pallas_nuts import pallas_nuts_step
+        if self.backend.startswith("pallas"):
             from ..ops.tree import TreeStepResult
+
+            if self.backend == "pallas2":
+                from ..ops.pallas_nuts2 import pallas_nuts2_step as step_kernel
+            else:
+                from ..ops.pallas_nuts import pallas_nuts_step as step_kernel
 
             # Distinct hardware-PRNG seed per step (golden-ratio stride,
             # wrapped into int32 range).
@@ -293,7 +302,7 @@ class NUTS(BatchSampler):
                 + m.astype(jnp.int32) * jnp.int32(-1640531535)
             )
             (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
-                pallas_nuts_step(
+                step_kernel(
                     self.target,
                     carry["pos"],
                     carry["lp"],
@@ -303,6 +312,7 @@ class NUTS(BatchSampler):
                     carry["mass"].scale,
                     seed,
                     max_depth=self.max_tree_depth,
+                    **self.pallas_options,
                 )
             )
             tree = TreeStepResult(
