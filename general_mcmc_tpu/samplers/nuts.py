@@ -301,8 +301,8 @@ class NUTS(BatchSampler):
                 jax.random.key_data(self._key).ravel()[-1].astype(jnp.int32)
                 + m.astype(jnp.int32) * jnp.int32(-1640531535)
             )
-            (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
-                step_kernel(
+            def run_kernel_at(depth):
+                return step_kernel(
                     self.target,
                     carry["pos"],
                     carry["lp"],
@@ -311,10 +311,23 @@ class NUTS(BatchSampler):
                     carry["mass"].inv,
                     carry["mass"].scale,
                     seed,
-                    max_depth=self.max_tree_depth,
+                    max_depth=depth,
                     **self.pallas_options,
                 )
-            )
+
+            if self.warmup_tree_depth != self.max_tree_depth:
+                # scalar phase switch, one fused kernel per depth cap
+                (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
+                    jax.lax.cond(
+                        m < self._n_discard,
+                        lambda: run_kernel_at(self.warmup_tree_depth),
+                        lambda: run_kernel_at(self.max_tree_depth),
+                    )
+                )
+            else:
+                (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
+                    run_kernel_at(self.max_tree_depth)
+                )
             tree = TreeStepResult(
                 pos=pos.astype(dtype),
                 lp=lp.astype(dtype),
