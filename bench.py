@@ -58,7 +58,12 @@ DIM = int(os.environ.get("GMT_BENCH_DIM", 100))
 N_OBS = int(os.environ.get("GMT_BENCH_OBS", 256))  # logistic only
 N_COLLECT = int(os.environ.get("GMT_BENCH_COLLECT", 1024))
 N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 384))
-MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 8))
+# Collection depth cap 4: min-ESS and R-hat identical to cap 8 on the
+# headline target (collection trees self-terminate; ≤8k of 165M leapfrogs
+# clipped) while the [max_depth, d] checkpoint stacks shrink 8→4 slots —
+# 665k→1.14M min-ESS/s.  Cap 3 clips hard (min-ESS 7.8M→4.6M); see
+# docs/BENCH_HISTORY.md round-2 sweep.
+MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
 # NUTS backend: "xla" (default) | "pallas" | "pallas2" (fused kernels), with
 # optional GMT_BENCH_BLOCK (chains/kernel block) and GMT_BENCH_VMEM (MB).
 BACKEND = os.environ.get("GMT_BENCH_BACKEND", "xla")

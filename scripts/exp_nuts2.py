@@ -41,7 +41,7 @@ INTERPRET = os.environ.get("GMT_EXP_INTERPRET") == "1"
 N = int(os.environ.get("GMT_EXP_CHAINS", 10_240))
 DIM = int(os.environ.get("GMT_EXP_DIM", 100))
 STEPS = int(os.environ.get("GMT_EXP_STEPS", 64))
-DEPTH = int(os.environ.get("GMT_EXP_DEPTH", 8))
+DEPTH = int(os.environ.get("GMT_EXP_DEPTH", 5))
 EPS = float(os.environ.get("GMT_EXP_EPS", 0.5))
 BLOCKS = [int(b) for b in os.environ.get("GMT_EXP_BLOCKS", "128,256,512").split(",")]
 VMEMS = [float(v) for v in os.environ.get("GMT_EXP_VMEM", "100").split(",")]
