@@ -304,3 +304,35 @@ def test_mh_pallas_thinning_interpret():
                      interpret=True, thin=3)
     )
     np.testing.assert_array_equal(thin, full[:, 2::3])
+
+
+def test_pallas2_backend_end_to_end_interpret():
+    """The full adaptive NUTS pipeline (eps search, warmup windows, dual
+    averaging, warmup-depth phase switch) through backend='pallas2' with
+    the interpret-mode kernel reaches the target distribution."""
+    from general_mcmc_tpu import NUTS, GaussianND, NUTSMassMatrixConfig, init_with_seed
+
+    t = GaussianND(
+        mean=jnp.zeros(2, jnp.float32), cov=jnp.array([1.0, 3.0], jnp.float32)
+    )
+    s = NUTS(
+        t,
+        init_with_seed(16, 2, 0),
+        mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
+        max_tree_depth=4,
+        warmup_tree_depth=3,
+        seed=0,
+        backend="pallas2",
+        pallas_options={
+            "block_chains": 16,
+            "vmem_limit_mb": 64,
+            "interpret": True,
+        },
+    )
+    out = np.asarray(s.run(24, 24))
+    assert out.shape == (16, 24, 2)
+    flat = out.reshape(-1, 2)
+    assert np.isfinite(flat).all()
+    # loose moment envelope (tiny run) - catches gross selection bias like
+    # the round-2 dead-U-turn bug (~57% std inflation)
+    np.testing.assert_allclose(flat.std(axis=0), [1.0, 3.0], rtol=0.35)
