@@ -36,12 +36,28 @@ mask=1 too, silently disabling every within-subtree U-turn check
 (≈57% marginal-std inflation at depth 5).  The stacks are now zeroed per
 transition; the kernel is validated bit-exactly against a sequential
 numpy oracle driving reference semantics with the replicated PRNG stream
-(tests/test_pallas_oracle.py).  Perf (round-1 numbers, re-measure): at
-10240×100 Mosaic's scoped-VMEM stack capped block_chains at 64 (~21 MB
-requested at B=128 — the stack appears to hold every body temporary
-live), 7.3e6 grad-evals/s vs 2.05e7 for the XLA tree; ``vmem_limit_mb``
-now raises the cap (scripts/exp_nuts2.py sweeps it).  If B=512 fits,
-this kernel projects to ~6× the XLA tree.  Tracked in docs/ROADMAP.md.
+(tests/test_pallas_oracle.py).
+
+Round-2 performance surgery (scripts/exp_nuts2.py, 10240×100 steady
+state): raising ``vmem_limit_mb`` to 100 unlocked block_chains up to 512
+but throughput was FLAT in both B and the limit (~5.7e6 grad-evals/s =
+0.3× the XLA tree) — the body's per-element passes were the bottleneck,
+not the block size.  Three changes bought 3.7×:
+
+- ``seld``/``sel1`` are real ``jnp.where`` selects over [B,1] masks, not
+  arithmetic blends (no repeat/mul/add passes, no NaN propagation);
+- the zero-step trick: inactive lanes leapfrog with ε·act = 0 (identity
+  update), so frontier/checkpoint/edge writes are UNCONDITIONAL — the
+  masked read-modify-write of [B,d] rows disappears (inactive-lane
+  garbage is provably unread: every output path is act-masked);
+- the within-subtree U-turn loop needs no lax.cond — even leaves give an
+  empty slot range naturally.
+
+Result: 2.1e7 grad-evals/s at depth 5 (1.14× the XLA tree) and 3.3e7 at
+depth 4 (0.89× — that config saturates every tree to the cap, so XLA's
+batch-sync waste vanishes).  The kernel's structural edge over XLA is
+block-level (256-chain) rather than batch-level (10k-chain)
+synchronization under VARIED tree depths.  Tracked in docs/ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -132,10 +148,13 @@ def _nuts2_kernel(
         return a + b - a * b
 
     def seld(m, a, b):
-        return b + (a - b) * pltpu.repeat(m, d, axis=1)
+        # [B,1] {0,1}-f32 mask select over [B,d]; a real select (not an
+        # arithmetic blend) so the discarded branch cannot poison the
+        # result and no repeat/multiply passes are materialized.
+        return jnp.where(m > 0.5, a, b)
 
     def sel1(m, a, b):
-        return b + (a - b) * m
+        return jnp.where(m > 0.5, a, b)
 
     # ---- per-transition init -------------------------------------------
     mom0 = _standard_normal((B, d)) * scale
@@ -189,14 +208,14 @@ def _nuts2_kernel(
         v = 1.0 - 2.0 * f(u_dir < 0.5)
         sc[_V] = v
         minus = f(v < 0.0)
-        act0 = sc[_ACT]
-        # frontier := the edge in the chosen direction (for active chains)
-        st[_POS_E] = seld(act0 * minus, st[_POS_M],
-                          seld(act0, st[_POS_P], st[_POS_E]))
-        st[_MOM_E] = seld(act0 * minus, st[_MOM_M],
-                          seld(act0, st[_MOM_P], st[_MOM_E]))
-        st[_GRAD_E] = seld(act0 * minus, st[_GRAD_M],
-                           seld(act0, st[_GRAD_P], st[_GRAD_E]))
+        # frontier := the edge in the chosen direction.  Direction-masked
+        # only: inactive chains' frontier/edges/stacks may hold garbage —
+        # every consumer that reaches the outputs is masked by ``act``
+        # ([B,1]), and inactive lanes integrate with a zero step below, so
+        # the garbage never escapes.
+        st[_POS_E] = seld(minus, st[_POS_M], st[_POS_P])
+        st[_MOM_E] = seld(minus, st[_MOM_M], st[_MOM_P])
+        st[_GRAD_E] = seld(minus, st[_GRAD_M], st[_GRAD_P])
         sc[_NSUB] = fzero
         sc[_ASUB] = fzero
         sc[_NASUB] = fzero
@@ -204,23 +223,26 @@ def _nuts2_kernel(
         def leaf_body(i, sub_ok):
             act = sc[_ACT] * sub_ok
             v_ = sc[_V]
-            ev_d = pltpu.repeat(v_ * eps, d, axis=1)
+            # zero-step trick: inactive lanes leapfrog with ε=0, i.e. an
+            # identity update — frontier and checkpoint writes can then be
+            # unconditional (no masked read-modify-write of [B,d] rows).
+            ev_d = pltpu.repeat(v_ * eps * act, d, axis=1)
             p0 = st[_POS_E]
             m0 = st[_MOM_E]
             gg0 = st[_GRAD_E]
             m1 = m0 + gg0 * (ev_d * 0.5)
             p1 = p0 + inv * m1 * ev_d
             lp1, g1 = vg(p1)
-            m1 = m1 + g1 * (ev_d * 0.5)
-            # Clamp to finite range: masked-lane blends are arithmetic
-            # (b + (a-b)·m), and inf·0 = NaN would poison inactive chains
-            # after a divergence.  Clamped values only ever flow into
-            # rejected leaves (leaf_ok = 0 there).
+            # Clamp to a finite range BEFORE the second half-kick: the
+            # zero-step arithmetic (g1·0) needs g1 finite, and a divergent
+            # leaf must leave a finite frontier so frozen lanes stay
+            # finite.  Clamped values only ever flow into rejected leaves
+            # (leaf_ok = 0 there) and dead subtrees.
             big = jnp.float32(1e30)
             p1 = jnp.clip(p1, -big, big)
-            m1 = jnp.clip(m1, -big, big)
             g1 = jnp.clip(g1, -big, big)
             lp1 = jnp.maximum(lp1, -big)
+            m1 = jnp.clip(m1 + g1 * (ev_d * 0.5), -big, big)
             vel1 = inv * m1
             joint = lp1 - 0.5 * rsum(m1 * vel1)
 
@@ -241,20 +263,23 @@ def _nuts2_kernel(
             sc[_SPROP_LP] = sel1(take, lp1, sc[_SPROP_LP])
             st[_SPROP_G] = seld(take, g1, st[_SPROP_G])
 
-            st[_POS_E] = seld(act, p1, p0)
-            st[_MOM_E] = seld(act, m1, m0)
-            st[_GRAD_E] = seld(act, g1, gg0)
+            # unconditional frontier advance (identity for inactive lanes)
+            st[_POS_E] = p1
+            st[_MOM_E] = m1
+            st[_GRAD_E] = g1
 
-            # checkpoint bookkeeping with SCALAR indices
+            # checkpoint bookkeeping with SCALAR indices; stores are
+            # unconditional — an inactive lane's slots are never read again
+            # within its (dead) subtree
             is_even = i % 2 == 0
             slot = _popcount_small(i >> 1)
             c1 = rsum(p1 * vel1)
 
             @pl.when(is_even)
             def _store():
-                pos_ck[slot] = seld(act, p1, pos_ck[slot])
-                vel_ck[slot] = seld(act, vel1, vel_ck[slot])
-                c1_ck[slot] = sel1(act, c1, c1_ck[slot])
+                pos_ck[slot] = p1
+                vel_ck[slot] = vel1
+                c1_ck[slot] = c1
 
             def check_k(k, turned):
                 pk = pos_ck[k]
@@ -264,34 +289,34 @@ def _nuts2_kernel(
                 dot_cur = v_ * (c1 - rsum(pk * vel1))
                 return orf(turned, orf(f(dot_ck < 0.0), f(dot_cur < 0.0)))
 
+            # For even leaves trailing_ones(i) = 0 ⇒ idx_min = slot + 1 ⇒
+            # the range is empty and the loop is a natural no-op — no
+            # lax.cond needed around it.
             idx_min = slot - _trailing_ones_small(i) + 1
-            turned = jax.lax.cond(
-                is_even,
-                lambda: fzero,
-                lambda: jax.lax.fori_loop(idx_min, slot + 1, check_k, fzero),
-            )
+            turned = jax.lax.fori_loop(idx_min, slot + 1, check_k, fzero)
             return sub_ok * leaf_ok * (1.0 - turned)
 
         n_leaves = jax.lax.shift_left(jnp.int32(1), j)
         sub_ok = jax.lax.fori_loop(0, n_leaves, leaf_body, sc[_S] * 0.0 + 1.0)
 
         # ---- boundary: edges, outer swap, global U-turn -----------------
+        # Edge updates are direction-masked only (inactive-lane corruption
+        # is harmless, see above); the proposal swap stays act-masked — it
+        # is the one path that reaches the outputs.
         at_end = sc[_ACT]
-        upd_m = at_end * minus
-        upd_p = at_end * (1.0 - minus)
-        st[_POS_M] = seld(upd_m, st[_POS_E], st[_POS_M])
-        st[_MOM_M] = seld(upd_m, st[_MOM_E], st[_MOM_M])
-        st[_GRAD_M] = seld(upd_m, st[_GRAD_E], st[_GRAD_M])
-        st[_POS_P] = seld(upd_p, st[_POS_E], st[_POS_P])
-        st[_MOM_P] = seld(upd_p, st[_MOM_E], st[_MOM_P])
-        st[_GRAD_P] = seld(upd_p, st[_GRAD_E], st[_GRAD_P])
+        st[_POS_M] = seld(minus, st[_POS_E], st[_POS_M])
+        st[_MOM_M] = seld(minus, st[_MOM_E], st[_MOM_M])
+        st[_GRAD_M] = seld(minus, st[_GRAD_E], st[_GRAD_M])
+        st[_POS_P] = seld(minus, st[_POS_P], st[_POS_E])
+        st[_MOM_P] = seld(minus, st[_MOM_P], st[_MOM_E])
+        st[_GRAD_P] = seld(minus, st[_GRAD_P], st[_GRAD_E])
 
         u_swap = _uniform_01((B, 1), salt=j)
         take_outer = at_end * sub_ok * f(u_swap * sc[_N] < sc[_NSUB])
         st[_PROP] = seld(take_outer, st[_SPROP], st[_PROP])
         sc[_PROP_LP] = sel1(take_outer, sc[_SPROP_LP], sc[_PROP_LP])
         st[_PROP_G] = seld(take_outer, st[_SPROP_G], st[_PROP_G])
-        sc[_N] = sc[_N] + at_end * sc[_NSUB]
+        sc[_N] = sc[_N] + sc[_NSUB]  # NSUB is act-masked already
 
         diff = st[_POS_P] - st[_POS_M]
         glob_ok = f(rsum(diff * (inv * st[_MOM_M])) >= 0.0) * f(

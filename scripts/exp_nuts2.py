@@ -44,7 +44,11 @@ STEPS = int(os.environ.get("GMT_EXP_STEPS", 64))
 DEPTH = int(os.environ.get("GMT_EXP_DEPTH", 5))
 EPS = float(os.environ.get("GMT_EXP_EPS", 0.5))
 BLOCKS = [int(b) for b in os.environ.get("GMT_EXP_BLOCKS", "128,256,512").split(",")]
-VMEMS = [float(v) for v in os.environ.get("GMT_EXP_VMEM", "100").split(",")]
+# vmem entries <= 0 mean None (Mosaic's default scoped-VMEM limit)
+VMEMS = [
+    (v if v > 0 else None)
+    for v in (float(x) for x in os.environ.get("GMT_EXP_VMEM", "100").split(","))
+]
 SEED = 0
 
 
