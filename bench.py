@@ -57,7 +57,11 @@ N_CHAINS = int(os.environ.get("GMT_BENCH_CHAINS", 10_240))
 DIM = int(os.environ.get("GMT_BENCH_DIM", 100))
 N_OBS = int(os.environ.get("GMT_BENCH_OBS", 256))  # logistic only
 N_COLLECT = int(os.environ.get("GMT_BENCH_COLLECT", 1024))
-N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 384))
+# Warmup budget sweep (384/256/192/160, R-hat + min-ESS gated): 192 is the
+# knee — the Stan windows still complete (windows end at 100/150 + forced
+# 141, then the same 51-step step-size tail) and min-ESS even improves
+# (10.4M vs 7.8M at 384); 160 degrades the final mass window (7.7M).
+N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 192))
 # Collection depth cap 4: min-ESS and R-hat identical to cap 8 on the
 # headline target (collection trees self-terminate; ≤8k of 165M leapfrogs
 # clipped) while the [max_depth, d] checkpoint stacks shrink 8→4 slots —
@@ -67,6 +71,7 @@ MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
 # NUTS backend: "xla" (default) | "pallas" | "pallas2" (fused kernels), with
 # optional GMT_BENCH_BLOCK (chains/kernel block) and GMT_BENCH_VMEM (MB).
 BACKEND = os.environ.get("GMT_BENCH_BACKEND", "xla")
+TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.8))
 SEED = 0
 # Total wall-clock budget; measured attempts stop (and retries are skipped)
 # once it is spent.  The driver's observed window is ~30 min — leave slack.
@@ -111,7 +116,7 @@ def build_sampler():
     return NUTS(
         target,
         init_with_seed(N_CHAINS, DIM, SEED),
-        target_accept_p=0.8,
+        target_accept_p=TARGET_ACCEPT,
         mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
         max_tree_depth=MAX_TREE_DEPTH,
         # Pre-adaptation trees hit the depth cap and every chain pays the
@@ -246,7 +251,12 @@ def main():
     # improvement is re-emitted — the LAST line is the best measurement.
     wall = float("inf")
     for _ in range(2):
-        if _left() < max(2 * t_first, 60):
+        # A warm rep costs exec only (~10 s at the default config), not the
+        # compile-dominated t_first; a fixed allowance keeps reps running
+        # after a long cold compile (the round-2 collect-sweep run burned
+        # 717 s compiling and then skipped its reps under the old
+        # 2×t_first rule).
+        if _left() < 180:
             print("budget low: skipping further timed reps", file=sys.stderr)
             break
         sample.delete()
