@@ -56,7 +56,10 @@ WORKLOAD = os.environ.get("GMT_BENCH_WORKLOAD", "gauss")
 N_CHAINS = int(os.environ.get("GMT_BENCH_CHAINS", 10_240))
 DIM = int(os.environ.get("GMT_BENCH_DIM", 100))
 N_OBS = int(os.environ.get("GMT_BENCH_OBS", 256))  # logistic only
-N_COLLECT = int(os.environ.get("GMT_BENCH_COLLECT", 1024))
+# Collection 1024→3072 scales min-ESS linearly with no HBM cliff at the
+# depth-4 stacks (output buffer 12.6 GB of 16 GB; round-1's cliff was with
+# depth-8 stacks); warmup amortizes to 6%.
+N_COLLECT = int(os.environ.get("GMT_BENCH_COLLECT", 3072))
 # Warmup budget sweep (384/256/192/160, R-hat + min-ESS gated): 192 is the
 # knee — the Stan windows still complete (windows end at 100/150 + forced
 # 141, then the same 51-step step-size tail) and min-ESS even improves
@@ -71,7 +74,10 @@ MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
 # NUTS backend: "xla" (default) | "pallas" | "pallas2" (fused kernels), with
 # optional GMT_BENCH_BLOCK (chains/kernel block) and GMT_BENCH_VMEM (MB).
 BACKEND = os.environ.get("GMT_BENCH_BACKEND", "xla")
-TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.8))
+# Acceptance-target sweep (0.65/0.8/0.85/0.9, gated): 0.85 is the optimum —
+# ESS/chain/step reaches 1.23 (antithetic NUTS draws) at only ~10% more
+# leapfrogs; 0.65 halves ESS, 0.9 pays +54% wall for +12% ESS.
+TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.85))
 SEED = 0
 # Total wall-clock budget; measured attempts stop (and retries are skipped)
 # once it is spent.  The driver's observed window is ~30 min — leave slack.
