@@ -74,10 +74,11 @@ MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
 # NUTS backend: "xla" (default) | "pallas" | "pallas2" (fused kernels), with
 # optional GMT_BENCH_BLOCK (chains/kernel block) and GMT_BENCH_VMEM (MB).
 BACKEND = os.environ.get("GMT_BENCH_BACKEND", "xla")
-# Acceptance-target sweep (0.65/0.8/0.85/0.9, gated): 0.85 is the optimum —
-# ESS/chain/step reaches 1.23 (antithetic NUTS draws) at only ~10% more
-# leapfrogs; 0.65 halves ESS, 0.9 pays +54% wall for +12% ESS.
-TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.85))
+# Acceptance-target sweep (0.65…0.95, R-hat gated): broad optimum at
+# 0.89–0.91 — under the depth-4 cap the leapfrog cost stays ~flat while
+# ESS/chain/step climbs to 1.37 (antithetic NUTS draws); 0.65 halves ESS,
+# 0.95 declines.  See docs/BENCH_HISTORY.md.
+TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.90))
 SEED = 0
 # Total wall-clock budget; measured attempts stop (and retries are skipped)
 # once it is spent.  The driver's observed window is ~30 min — leave slack.
