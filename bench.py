@@ -105,15 +105,17 @@ def build_sampler():
     )
 
     global DIM
-    if WORKLOAD == "logistic":
+    if WORKLOAD.startswith("logistic"):
         from general_mcmc_tpu.models.regression import (
             HierarchicalLogistic,
+            HierarchicalLogisticNC,
             make_logistic_data,
         )
 
-        p = DIM - 2  # θ = [μ, log τ, β₁..β_p]
+        p = DIM - 2  # θ = [μ, log τ, β₁..β_p] (or z₁..z_p non-centered)
         X, y, _ = make_logistic_data(jax.random.PRNGKey(1), N_OBS, p)
-        target = HierarchicalLogistic(X, y)
+        cls = HierarchicalLogisticNC if WORKLOAD == "logistic_nc" else HierarchicalLogistic
+        target = cls(X, y)
         assert target.dim == DIM
     else:
         scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM)).astype(
@@ -178,8 +180,10 @@ def _roofline(leapfrogs: int, wall: float) -> str:
 
 
 _WL_DESC = (
-    f"{DIM}-d hierarchical logistic (n_obs={N_OBS})"
-    if WORKLOAD == "logistic"
+    f"{DIM}-d hierarchical logistic"
+    + (" (non-centered)" if WORKLOAD == "logistic_nc" else "")
+    + f" (n_obs={N_OBS})"
+    if WORKLOAD.startswith("logistic")
     else f"{DIM}-d ill-conditioned Gaussian"
 )
 
@@ -216,7 +220,7 @@ def _measure_and_emit(sampler, sample, wall, note=""):
         f"min_ess/s={min_ess_per_sec:.3g}",
         file=sys.stderr,
     )
-    if WORKLOAD == "logistic":
+    if WORKLOAD.startswith("logistic"):
         # Likelihood matmul FLOPs per chain-leapfrog: forward X·β
         # (2·n_obs·p) + backward Xᵀ·residual (2·n_obs·p).  This is the MXU
         # utilization figure VERDICT round 1 #9 asks for (f32 run, peak

@@ -14,7 +14,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-__all__ = ["HierarchicalLogistic", "make_logistic_data"]
+__all__ = [
+    "HierarchicalLogistic",
+    "HierarchicalLogisticNC",
+    "make_logistic_data",
+]
 
 
 def make_logistic_data(key, n_obs: int, n_features: int, dtype=jnp.float32):
@@ -62,6 +66,46 @@ class HierarchicalLogistic:
         lp = lp - 0.5 * jnp.sum(((beta - mu) / tau) ** 2) - beta.shape[0] * log_tau
         logits = self.X @ beta
         # Bernoulli log-likelihood, numerically stable form.
+        lp = lp + jnp.sum(self.y * logits - jax.nn.softplus(logits))
+        return lp
+
+    __call__ = unnorm_logp
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class HierarchicalLogisticNC:
+    """Non-centered reparameterization of :class:`HierarchicalLogistic`.
+
+    Parameter vector ``θ = [μ, log τ, z₁..z_p]`` with ``β = μ + τ·z`` and
+    ``z_j ~ N(0, 1)``.  Same posterior over ``(μ, τ, β)``; the funnel
+    between ``τ`` and ``β`` becomes a benign standard-normal geometry, so
+    NUTS mixes dramatically better (the standard Stan reparameterization
+    trick).  Use :meth:`beta` to map sampled ``θ`` back to coefficients.
+    """
+
+    X: jax.Array  # [n_obs, p]
+    y: jax.Array  # [n_obs] in {0, 1}
+
+    def __post_init__(self):
+        object.__setattr__(self, "X", jnp.asarray(self.X))
+        object.__setattr__(self, "y", jnp.asarray(self.y))
+
+    @property
+    def dim(self) -> int:
+        return self.X.shape[1] + 2
+
+    def beta(self, theta):
+        """Map ``θ = [μ, log τ, z]`` (trailing axis) to coefficients β."""
+        mu, log_tau = theta[..., 0:1], theta[..., 1:2]
+        return mu + jnp.exp(log_tau) * theta[..., 2:]
+
+    def unnorm_logp(self, theta):
+        mu, log_tau = theta[0], theta[1]
+        z = theta[2:]
+        lp = -0.5 * mu * mu
+        lp = lp - 0.5 * log_tau * log_tau
+        lp = lp - 0.5 * jnp.sum(z * z)
+        logits = self.X @ (mu + jnp.exp(log_tau) * z)
         lp = lp + jnp.sum(self.y * logits - jax.nn.softplus(logits))
         return lp
 

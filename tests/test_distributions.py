@@ -137,3 +137,34 @@ def test_poisson_binomial_pmfs():
             float(binom.unnorm_logp(jnp.array([k]))) - sps.binom.logpmf(k, 10, 0.3)
         ) < 1e-5
     assert float(binom.unnorm_logp(jnp.array([11]))) == -np.inf
+
+
+def test_hierarchical_logistic_nc_consistency():
+    """Non-centered logp equals the centered logp at the transformed point
+    plus the log-Jacobian p·log τ (β = μ + τ·z ⇒ |dβ/dz| = τ^p)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from general_mcmc_tpu.models.regression import (
+        HierarchicalLogistic,
+        HierarchicalLogisticNC,
+        make_logistic_data,
+    )
+
+    X, y, _ = make_logistic_data(jax.random.PRNGKey(3), 32, 5)
+    c = HierarchicalLogistic(X, y)
+    nc = HierarchicalLogisticNC(X, y)
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        mu, log_tau = rng.normal(), rng.normal() * 0.5
+        z = rng.normal(size=5)
+        theta_nc = jnp.asarray(np.concatenate([[mu, log_tau], z]), jnp.float64)
+        beta = mu + np.exp(log_tau) * z
+        theta_c = jnp.asarray(np.concatenate([[mu, log_tau], beta]), jnp.float64)
+        lhs = float(nc.unnorm_logp(theta_nc))
+        rhs = float(c.unnorm_logp(theta_c)) + 5 * log_tau
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+        # beta() maps sampled theta back to coefficients (batched axis too)
+        np.testing.assert_allclose(
+            np.asarray(nc.beta(theta_nc)), beta, rtol=1e-10
+        )
