@@ -135,6 +135,9 @@ def build_sampler():
         warmup_tree_depth=4,
         seed=SEED,
         backend=BACKEND,
+        # GMT_BENCH_CKPT_BF16=1: bf16 checkpoint stacks (U-turn sign tests
+        # only; R-hat/min-ESS gated like every experiment knob)
+        ckpt_dtype=jnp.bfloat16 if os.environ.get("GMT_BENCH_CKPT_BF16") == "1" else None,
         pallas_options={
             k: int(os.environ[e])
             for k, e in (

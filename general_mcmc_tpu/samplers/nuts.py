@@ -176,6 +176,7 @@ class NUTS(BatchSampler):
         backend: str = "xla",
         warmup_tree_depth: int | None = None,
         pallas_options: dict | None = None,
+        ckpt_dtype=None,
     ):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
@@ -203,6 +204,10 @@ class NUTS(BatchSampler):
             raise ValueError("pallas backends support identity/diagonal mass only")
         self.backend = backend
         self.pallas_options = dict(pallas_options or {})
+        # Optional reduced-precision checkpoint stacks for the XLA tree
+        # (e.g. jnp.bfloat16): the stacks feed only U-turn sign tests; see
+        # ops/tree.py build_subtree for the documented deviation.
+        self.ckpt_dtype = ckpt_dtype
         self._vg = jax.value_and_grad(self.target)
         self._n_discard = 0
         self._collect_sched = jnp.zeros(1, bool)
@@ -344,7 +349,8 @@ class NUTS(BatchSampler):
             def run_tree(depth):
                 def go(k, p, lp, g, e, mass):
                     return nuts_tree_step(
-                        k, p, lp, g, e, mass, self._dense, self._vg, depth
+                        k, p, lp, g, e, mass, self._dense, self._vg, depth,
+                        ckpt_dtype=self.ckpt_dtype,
                     )
 
                 return jax.vmap(go)(
