@@ -215,6 +215,17 @@ def _measure_and_emit(sampler, sample, wall, note=""):
     rhat, ess = split_rhat_mean_ess(sample, steps_major=True)
     rhat_max = float(jnp.max(rhat))
     min_ess = float(jnp.min(ess))
+    if WORKLOAD == "gauss":
+        # Moment audit: R-hat only certifies that chains agree with each
+        # other; also check they agree with the analytic target (per-dim
+        # std spans 1..10).  Catches a globally-wrong stationary
+        # distribution that convergence diagnostics cannot see.
+        scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM))
+        std = jnp.std(sample.reshape(-1, DIM), axis=0)
+        max_rel = float(jnp.max(jnp.abs(std / scales - 1.0)))
+        print(f"moment audit: max |std/scale - 1| = {max_rel:.4f}", file=sys.stderr)
+        if max_rel > 0.05:
+            print(f"WARNING: marginal std off by {max_rel:.1%}", file=sys.stderr)
     min_ess_per_sec = min_ess / wall
     grad_evals_per_sec = leapfrogs / wall
     print(
