@@ -186,3 +186,60 @@ def test_v2_kernel_matches_oracle():
         np.testing.assert_array_equal(np.asarray(kdep), odep)
         np.testing.assert_array_equal(np.asarray(klf), olf)
         np.testing.assert_allclose(np.asarray(kp), op, atol=1e-3)
+
+
+def test_v2_kernel_divergence_contract():
+    """A huge step size forces divergence at the first leaf: the kernel must
+    report div=1, one leapfrog, depth 1, and an unchanged proposal — same
+    as the sequential oracle (the clamped frontier values never escape)."""
+    t = GaussianND(
+        mean=jnp.zeros(2, jnp.float32), cov=jnp.array([1.0, 1.0], jnp.float32)
+    )
+    N, D, DEPTH = 8, 2, 4
+    pos = init_det(N, D).astype(jnp.float32)
+    lp, grad = jax.vmap(jax.value_and_grad(t.unnorm_logp))(pos)
+    lp, grad = lp.astype(jnp.float32), grad.astype(jnp.float32)
+    kp, _klp, _kg, _a, _na, klf, kdep, kdiv = pallas_nuts2_step(
+        t.unnorm_logp, pos, lp, grad, jnp.full((N,), 80.0, jnp.float32),
+        jnp.ones((N, D), jnp.float32), jnp.ones((N, D), jnp.float32),
+        seed=0, max_depth=DEPTH, block_chains=N, interpret=True,
+    )
+    vgf = jax.value_and_grad(t.unnorm_logp)
+
+    def vg_np(x):
+        l, g = vgf(jnp.asarray(x, jnp.float32))
+        return float(l), np.asarray(g, np.float64)
+
+    op, olf, odep = _oracle(
+        np.asarray(pos, np.float64), np.asarray(lp, np.float64),
+        np.asarray(grad, np.float64), 80.0, np.ones((N, D)), 0, DEPTH, vg_np,
+    )
+    np.testing.assert_array_equal(np.asarray(kdiv), 1)
+    np.testing.assert_array_equal(np.asarray(klf), olf)
+    np.testing.assert_array_equal(np.asarray(kdep), odep)
+    np.testing.assert_allclose(np.asarray(kp), op, atol=1e-3)
+
+
+def test_v2_kernel_matmul_target_interpret():
+    """A target whose logp contains a real matmul (hierarchical logistic
+    likelihood X·β) exercises the kernel's jaxpr const-hoisting with 2-D
+    constants; finite sampling through repeated transitions."""
+    from general_mcmc_tpu.models.regression import (
+        HierarchicalLogisticNC,
+        make_logistic_data,
+    )
+
+    X, y, _ = make_logistic_data(jax.random.PRNGKey(5), 24, 4)
+    t = HierarchicalLogisticNC(X, y)
+    N, D = 8, 6
+    pos = 0.1 * init_det(N, D).astype(jnp.float32)
+    lp, grad = jax.vmap(jax.value_and_grad(t.unnorm_logp))(pos)
+    lp, grad = lp.astype(jnp.float32), grad.astype(jnp.float32)
+    for s in range(6):
+        pos, lp, grad, *_rest = pallas_nuts2_step(
+            t.unnorm_logp, pos, lp, grad, jnp.full((N,), 0.2, jnp.float32),
+            jnp.ones((N, D), jnp.float32), jnp.ones((N, D), jnp.float32),
+            seed=s, max_depth=3, block_chains=N, interpret=True,
+        )
+    assert np.isfinite(np.asarray(pos)).all()
+    assert np.isfinite(np.asarray(lp)).all()
