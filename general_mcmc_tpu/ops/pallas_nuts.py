@@ -38,10 +38,13 @@ shifts, no scalar-leaf selects) still stand.
 
 Performance: at block_chains=64 (the largest block fitting Mosaic's
 scoped-VMEM stack for this body) throughput is ~6x BELOW the XLA tree at
-2048x100 — the big loop body spills heavily.  Round-2 work: shrink the
-live set (merge proposal buffers, roll the slot loop), raise the VMEM
-limit via CompilerParams, and re-tune block size.  The XLA backend
-remains the default.
+2048x100 — the big loop body spills heavily.  SUPERSEDED: round 2
+rebuilt this design as the block-synchronized v2 kernel
+(:mod:`.pallas_nuts2`, ``NUTS(backend="pallas2")``) with true selects,
+zero-step masking and scalar tree indices, reaching parity with the XLA
+tree; this flat-schedule v1 is kept as the per-chain-schedule variant
+and for its statistical test coverage.  The XLA backend remains the
+default.
 """
 
 from __future__ import annotations
