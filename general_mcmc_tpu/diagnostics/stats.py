@@ -333,65 +333,122 @@ def _ess(sample: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
     return (c * n) / _geyer_tau(rho)
 
 
-def _ess_budget_chunk(c: int, n: int, p: int) -> int:
-    """Parameter-chunk size bounding the per-block FFT buffer to ~64 MB so
-    diagnostics over 10k-chain batches stay far from HBM limits."""
+# Per-chunk FFT working-set budget for the chunked diagnostics path.
+# With complex64 spectra the per-chain working set is ~2·n_padded·p·8 bytes;
+# 512 MB keeps the whole diagnostics pass far below HBM limits even with a
+# >10 GB sample resident.
+_ESS_CHUNK_BYTES = 512 * 1024 * 1024
+
+
+def _ess_chain_chunk(c: int, n: int, p: int) -> int:
+    """Chain-chunk size bounding the per-block FFT buffer (complex spectra +
+    inverse-transform temp) to ``_ESS_CHUNK_BYTES``."""
     n_padded = 1
     while n_padded < 2 * n - 1:
         n_padded <<= 1
-    budget = 64 * 1024 * 1024
-    return int(max(1, min(p, budget // (c * n_padded * 8))))
+    per_chain = 2 * n_padded * p * 8  # complex64 spectrum + irfft temp
+    return int(max(1, min(c, _ESS_CHUNK_BYTES // per_chain)))
+
+
+def _pick_chain_chunk(c0: int, want: int) -> int:
+    """Largest chunk ≤ ``want`` that divides ``c0`` (single compiled chunk
+    shape); fall back to ``want`` itself (one extra remainder-shape compile)
+    when c0 has no convenient divisor."""
+    for cand in range(min(want, c0), 0, -1):
+        if c0 % cand == 0:
+            if cand >= max(1, want // 4):
+                return cand
+            break  # only tiny divisors exist; a remainder shape is cheaper
+    return min(want, c0)
 
 
 @functools.partial(jax.jit, static_argnames=("split", "steps_major"))
+def _chunk_suffstats(blk: jax.Array, split: bool, steps_major: bool):
+    """Sufficient statistics of one chains-chunk: per-(split-)chain means and
+    biased within-chain squared deviations ([cc, p] each) plus the SUM over
+    the chunk's chains of per-chain autocovariances ([n, p]).
+
+    These are exactly the per-chain terms _withinvar/_ess reduce over, so the
+    host-side combine reproduces the unchunked math; nothing cross-chain is
+    computed here, which is what makes chains the safe chunk axis.
+    """
+    blk = blk.astype(jnp.float32)
+    if steps_major:
+        blk = jnp.swapaxes(blk, 0, 1)
+    if split:
+        blk = _splitcat(blk)
+    chain_means = jnp.mean(blk, axis=1)  # (cc, p)
+    sq = jnp.mean((blk - chain_means[:, None, :]) ** 2, axis=1)  # biased /n
+    acov_sum = jnp.sum(autocov_fft(blk), axis=0)  # (n, p)
+    return chain_means, sq, acov_sum
+
+
+@jax.jit
+def _combine_suffstats(chain_means, sq, acov_sum):
+    """Combine per-chain sufficient statistics into (rhat, ess), reproducing
+    _withinvar + _ess exactly (stats.rs:439-450, 523-573)."""
+    c, _ = chain_means.shape
+    n = acov_sum.shape[0]
+    overall = jnp.mean(chain_means, axis=0)
+    b = jnp.sum((chain_means - overall) ** 2, axis=0) * (n / (c - 1.0))
+    w = jnp.mean(sq, axis=0)
+    v = ((n - 1.0) / n) * w + b / n
+    rhat = jnp.sqrt(v / w)
+    avg_rho = acov_sum / c
+    rho = 1.0 - (w - avg_rho) / v
+    ess = (c * n) / _geyer_tau(rho)
+    return rhat, ess
+
+
 def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
                          steps_major: bool = False):
-    """Chunked over the parameter axis directly from the raw sample: each
-    block is sliced, cast, (transposed,) split, and analyzed inside a
-    ``lax.map`` step, so no full-size split/transposed copies ever
-    materialize — peak extra memory is one parameter block.
+    """Memory-bounded split-R-hat + ESS: chunked over the CHAINS axis with
+    host-side static slices.
 
-    ``steps_major``: accept the sampler scan's native ``[steps, chains, p]``
-    layout; the per-block transpose to chains-major is a chunk-sized copy,
-    letting callers skip the full-sample transpose entirely.
+    The round-2 driver bench OOMed because the previous implementation
+    chunked the *parameter* axis with ``dynamic_slice`` — on TPU the
+    parameter axis is the minor (lane) axis, and slicing it forced XLA to
+    repack the whole >10 GB sample param-major (a full-size padded relayout
+    temp).  Chains are the sublane/batch axis: static chain slices lower to
+    clean tiled copies, each chunk's FFT working set is bounded by
+    ``_ESS_CHUNK_BYTES``, and per-chain statistics combine exactly across
+    chunks (autocovariance, within-chain variance, and chain means are all
+    per-chain quantities).  Peak extra memory = one chunk, verified by the
+    compiled-memory test in tests/test_stats.py.
     """
     if steps_major:
         n0, c0, p = sample.shape
     else:
         c0, n0, p = sample.shape
 
-    def block_stats(blk):
-        blk = blk.astype(jnp.float32)
+    c = 2 * c0 if split else c0
+    n = (n0 // 2) if split else n0
+    want = _ess_chain_chunk(c, n, p)
+    if split:
+        want = max(1, want // 2)  # want counts split chains; slices are pre-split
+
+    if want >= c0:
+        # Small enough for one shot: single fused program, no chunk loop.
+        blk = sample.astype(jnp.float32)
         if steps_major:
             blk = jnp.swapaxes(blk, 0, 1)
         if split:
             blk = _splitcat(blk)
         within, var = _withinvar(blk)
-        rhat = jnp.sqrt(var / within)
-        return rhat, _ess(blk, within, var)
+        return jnp.sqrt(var / within), _ess(blk, within, var)
 
-    c = 2 * c0 if split else c0
-    n = (n0 // 2) if split else n0
-    chunk = _ess_budget_chunk(c, n, p)
-    if chunk >= p:
-        return block_stats(sample)
-
-    # Block starts; the last block is shifted left to end exactly at p
-    # (overlap instead of padding — no full-array copy).
-    nblk = -(-p // chunk)
-    starts = jnp.minimum(jnp.arange(nblk) * chunk, p - chunk)
-
-    def one(k0):
-        blk = jax.lax.dynamic_slice(
-            sample, (0, 0, k0), (sample.shape[0], sample.shape[1], chunk)
-        )
-        return block_stats(blk)
-
-    rhat_b, ess_b = jax.lax.map(one, starts)
-    overlap = nblk * chunk - p
-    rhat = jnp.concatenate([rhat_b[:-1].reshape(-1), rhat_b[-1][overlap:]])
-    ess = jnp.concatenate([ess_b[:-1].reshape(-1), ess_b[-1][overlap:]])
-    return rhat, ess
+    chunk = _pick_chain_chunk(c0, want)
+    means_parts, sq_parts, acov_total = [], [], None
+    for lo in range(0, c0, chunk):
+        hi = min(lo + chunk, c0)
+        blk = sample[:, lo:hi] if steps_major else sample[lo:hi]
+        m_c, sq_c, a_c = _chunk_suffstats(blk, split=split, steps_major=steps_major)
+        means_parts.append(m_c)
+        sq_parts.append(sq_c)
+        acov_total = a_c if acov_total is None else acov_total + a_c
+    chain_means = jnp.concatenate(means_parts, axis=0)
+    sq = jnp.concatenate(sq_parts, axis=0)
+    return _combine_suffstats(chain_means, sq, acov_total)
 
 
 def split_rhat_mean_ess(sample, steps_major: bool = False):

@@ -155,3 +155,82 @@ def test_steps_major_matches_chain_major():
     r2, e2 = split_rhat_mean_ess(jnp.swapaxes(x, 0, 1), steps_major=True)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5)
+
+
+def test_chunked_matches_single_shot(monkeypatch):
+    """Forcing the chain-chunked path must reproduce the one-shot result (per-
+    chain sufficient statistics combine exactly across chunks)."""
+    from general_mcmc_tpu.diagnostics import stats as S
+
+    key = jax.random.key(7)
+    x = jax.random.normal(key, (12, 200, 3), jnp.float32) * jnp.array([1.0, 3.0, 0.5])
+    r_ref, e_ref = split_rhat_mean_ess(x)
+    # Shrink the budget so 12 chains need multiple chunks (both layouts).
+    monkeypatch.setattr(S, "_ESS_CHUNK_BYTES", 2 * 512 * 3 * 8 * 4)
+    assert S._ess_chain_chunk(24, 100, 3) < 12  # chunking actually engaged
+    r_c, e_c = split_rhat_mean_ess(x)
+    r_s, e_s = split_rhat_mean_ess(jnp.swapaxes(x, 0, 1), steps_major=True)
+    np.testing.assert_allclose(np.asarray(r_c), np.asarray(r_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_c), np.asarray(e_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_s), np.asarray(e_ref), rtol=1e-4)
+
+
+def test_chunked_odd_chain_count(monkeypatch):
+    """A chain count with no convenient divisor exercises the remainder-shape
+    path and must still combine exactly."""
+    from general_mcmc_tpu.diagnostics import stats as S
+
+    key = jax.random.key(8)
+    x = jax.random.normal(key, (13, 128, 2), jnp.float32)
+    r_ref, e_ref = split_rhat_mean_ess(x)
+    monkeypatch.setattr(S, "_ESS_CHUNK_BYTES", 2 * 256 * 2 * 8 * 5)
+    r_c, e_c = split_rhat_mean_ess(x)
+    np.testing.assert_allclose(np.asarray(r_c), np.asarray(r_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_c), np.asarray(e_ref), rtol=1e-4)
+
+
+def test_diagnostics_memory_bounded_at_bench_shape():
+    """Compiled-memory assertion (VERDICT round-2 #2): at the driver bench's
+    exact sample shape ([3072, 10240, 100] steps-major, 11.7 GiB), every
+    program the chunked diagnostics path compiles must keep temps + outputs
+    far below the sample size — i.e. no full-size relayout/copy like the
+    f32[104,3072,10240] pad temp that OOMed BENCH_r02.  Lowering needs no
+    real buffers, so this runs on CPU against the real TPU shapes.
+    """
+    from general_mcmc_tpu.diagnostics import stats as S
+
+    n0, c0, p = 3072, 10_240, 100
+    sample_bytes = n0 * c0 * p * 4
+    c, n = 2 * c0, n0 // 2
+    want = max(1, S._ess_chain_chunk(c, n, p) // 2)
+    assert want < c0  # the bench shape must engage chunking
+    chunk = S._pick_chain_chunk(c0, want)
+
+    blk = jax.ShapeDtypeStruct((n0, chunk, p), jnp.float32)
+    compiled = S._chunk_suffstats.lower(blk, split=True, steps_major=True).compile()
+    ma = compiled.memory_analysis()
+    chunk_total = (
+        ma.temp_size_in_bytes + ma.output_size_in_bytes + ma.argument_size_in_bytes
+    )
+    # one chunk's whole footprint stays under ~1.5 GB (vs 11.7 GB sample)
+    assert chunk_total < 1.5 * 2**30, f"chunk program uses {chunk_total / 2**30:.2f} GiB"
+
+    means = jax.ShapeDtypeStruct((c, p), jnp.float32)
+    sq = jax.ShapeDtypeStruct((c, p), jnp.float32)
+    acov = jax.ShapeDtypeStruct((n, p), jnp.float32)
+    ma2 = jax.jit(S._combine_suffstats).lower(means, sq, acov).compile().memory_analysis()
+    assert ma2.temp_size_in_bytes + ma2.output_size_in_bytes < 64 * 2**20
+
+    # The host-side slice sample[:, lo:hi] is the only op that sees the full
+    # array; its compiled program must not materialize any full-size temp.
+    full = jax.ShapeDtypeStruct((n0, c0, p), jnp.float32)
+    ma3 = (
+        jax.jit(lambda s: jax.lax.slice_in_dim(s, 0, chunk, axis=1))
+        .lower(full)
+        .compile()
+        .memory_analysis()
+    )
+    assert ma3.temp_size_in_bytes < sample_bytes // 4, (
+        f"slice temp {ma3.temp_size_in_bytes / 2**30:.2f} GiB — full-size relayout"
+    )
