@@ -1,6 +1,6 @@
 from .pallas_hmc import fused_hmc_run
 from .pallas_mh import fused_mh_run
-from .pallas_nuts import pallas_nuts_step
+from .pallas_nuts2 import pallas_nuts2_step
 from .tree import (
     MassMatrix,
     build_subtree,

@@ -1,10 +1,11 @@
 """Fused Pallas NUTS transition, v2: block-synchronized tree schedule.
 
-The v1 kernel (:mod:`.pallas_nuts`) gives every chain its own flat
-leaf/boundary schedule, which makes the tree indices per-chain vectors —
-checkpoint stores become S-way one-hot blends, the while carry holds ~30
-arrays, and Mosaic's scoped-VMEM stack caps the chain block at 64 rows with
-heavy spilling.
+A retired v1 kernel (removed in round 3; see git history) gave every chain
+its own flat leaf/boundary schedule, which made the tree indices per-chain
+vectors — checkpoint stores became S-way one-hot blends, the while carry
+held ~30 arrays, and Mosaic's scoped-VMEM stack capped the chain block at
+64 rows with heavy spilling; it measured ~6× below the XLA tree and was
+superseded by this kernel.
 
 v2 restores the *synchronized* schedule of the XLA vmapped tree
 (:mod:`.tree`): all chains in a block walk the same (doubling j, leaf i)
@@ -24,19 +25,34 @@ Masked-work cost: a block runs every doubling to the longest tree among its
 chains (identical to the XLA backend's vmap semantics); the doubling loop
 exits early once every chain in the block has terminated.
 
-Inherits v1's Mosaic layout rules (module docstring there): f32 mask
-algebra, no numeric i32↔f32 [B,1] casts, lane reductions via a
-[B,d]@[d,1] matvec, explicit ``pltpu.repeat`` lane broadcasts.
+Mosaic layout rules this jaxlib requires of the kernel body (found by
+systematic ablation while hardware-validating v1, preserved here):
+
+- f32 mask algebra throughout; no bool while-loop carries;
+- no numeric i32↔f32 casts on [B,1] vectors — counters are carried as f32
+  with a parallel i32 copy for bit math (bool→f32/i32 casts are fine);
+- lane reductions and carry-init constants are routed through a
+  [B,d]@[d,1] MXU matvec: ``jnp.sum(axis=1, keepdims=True)`` produces a
+  lane-REPLICATED [B,1] layout, and Mosaic cannot insert the
+  replicated↔concrete relayout a while-loop carry requires ("Lane
+  broadcast" legalization failure);
+- explicit ``pltpu.repeat`` for arithmetic lane broadcasts of [B,1]
+  against [B,d] (selects with [B,1] masks are fine);
+- per-slot checkpoint arrays / scalar slot indices; no vector shifts; no
+  scalar-leaf selects.
 
 STATUS: compiles and samples on v5e.  Round-2 found and fixed a
 correctness bug: the checkpoint stacks are scratch VMEM, which starts
-UNINITIALIZED, and the masked stores are arithmetic blends
-``old + (new-old)·mask`` — a NaN/garbage ``old`` poisons the slot for
+UNINITIALIZED, and the stores were then arithmetic blends
+``old + (new-old)·mask`` — a NaN/garbage ``old`` poisoned the slot for
 mask=1 too, silently disabling every within-subtree U-turn check
-(≈57% marginal-std inflation at depth 5).  The stacks are now zeroed per
-transition; the kernel is validated bit-exactly against a sequential
-numpy oracle driving reference semantics with the replicated PRNG stream
-(tests/test_pallas_oracle.py).
+(≈57% marginal-std inflation at depth 5).  The round-2 body surgery
+converted those stores to plain unconditional writes (every checked slot
+is written earlier in the same subtree), so the per-transition stack
+zeroing below is now defense-in-depth against dead-lane reads rather
+than a correctness requirement.  The kernel is validated bit-exactly
+against a sequential numpy oracle driving reference semantics with the
+replicated PRNG stream (tests/test_pallas_oracle.py).
 
 Round-2 performance surgery (scripts/exp_nuts2.py, 10240×100 steady
 state): raising ``vmem_limit_mb`` to 100 unlocked block_chains up to 512
@@ -70,15 +86,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_nuts import (
-    _popcount_small,
-    _standard_normal,
-    _trailing_ones_small,
-    _uniform_01,
-)
-from .pallas_hmc import seed_prng
+from .pallas_hmc import _standard_normal, _uniform_01, seed_prng
 
 __all__ = ["pallas_nuts2_step"]
+
+
+def _popcount_small(x, nbits: int = 12):
+    """Portable popcount for small non-negative ints (tree indices)."""
+    total = jnp.zeros_like(x)
+    for b in range(nbits):
+        total = total + ((x >> b) & 1)
+    return total
+
+
+def _trailing_ones_small(x, nbits: int = 12):
+    ip1 = x + 1
+    mask = (ip1 & -ip1) - 1
+    return _popcount_small(mask, nbits)
 
 _DELTA_MAX = 1000.0
 
@@ -134,7 +158,8 @@ def _nuts2_kernel(
     ones_d1 = jnp.ones((d, 1), jnp.float32)
 
     def rsum(t):
-        # lane reduction with a concrete [B,1] layout (see pallas_nuts.py)
+        # lane reduction with a concrete [B,1] layout (Mosaic rules in the
+        # module docstring: jnp.sum would give a lane-replicated layout)
         return jax.lax.dot_general(
             t, ones_d1,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -170,11 +195,12 @@ def _nuts2_kernel(
                       (_SPROP_G, g0)):
         st[slot] = val
     # Scratch VMEM is UNINITIALIZED at kernel start (NaN under the
-    # interpreter, garbage on hardware).  The checkpoint stores below are
-    # arithmetic blends ``old + (new - old)·mask`` — a NaN/inf ``old``
-    # poisons the store even for mask=1, silently killing every
-    # within-subtree U-turn check (f(NaN < 0) = False).  Zero the stacks
-    # once per transition so the first store into each slot is exact.
+    # interpreter, garbage on hardware).  The checkpoint stores are now
+    # plain unconditional writes, and every slot a U-turn check reads is
+    # written earlier in the same subtree — so this zeroing is defense-
+    # in-depth against dead-lane reads (inactive chains' slots), not a
+    # correctness requirement.  Keep it: it pins interpret-mode NaN
+    # behavior and costs one pass per transition.
     zero_bd = x * 0.0
     for s_ in range(max_depth):
         pos_ck[s_] = zero_bd
@@ -361,7 +387,11 @@ def pallas_nuts2_step(
 ):
     """One NUTS transition for all chains via the v2 fused kernel.
 
-    Same contract as :func:`.pallas_nuts.pallas_nuts_step`.
+    Contract: ``(logp_fn, pos[B,d], lp[B], grad[B,d], eps[B], mass_inv[B,d],
+    mass_scale[B,d], seed)`` → ``(pos, lp, grad, alpha, n_alpha, leapfrogs,
+    depth, diverged)`` — the fused equivalent of one vmapped
+    :func:`.tree.nuts_tree_step` transition (identity/diagonal mass only;
+    dense falls back to XLA).
 
     ``vmem_limit_mb`` raises Mosaic's scoped-VMEM budget (the default
     ~16 MB limit is what capped ``block_chains`` at 64 in round 1: the

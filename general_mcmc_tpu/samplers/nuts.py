@@ -148,15 +148,15 @@ class NUTS(BatchSampler):
     mass_config : :class:`NUTSMassMatrixConfig`; default disabled, matching
         the reference façade (generic_nuts.rs:370-377) — pass
         ``NUTSMassMatrixConfig()`` for Stan-style diagonal adaptation.
-    backend : ``"xla"`` (vmapped while_loop tree), ``"pallas"`` (fused
-        VMEM-resident kernel, flat per-chain schedule,
-        :mod:`..ops.pallas_nuts`) or ``"pallas2"`` (fused kernel,
-        block-synchronized schedule, :mod:`..ops.pallas_nuts2`).  The
-        fused backends are TPU only, identity/diagonal mass, and use the
-        hardware-PRNG stream.
+    backend : ``"xla"`` (vmapped while_loop tree) or ``"pallas"`` (fused
+        VMEM-resident kernel with a block-synchronized tree schedule,
+        :mod:`..ops.pallas_nuts2`; ``"pallas2"`` is accepted as an alias —
+        the flat-schedule v1 kernel it distinguished was retired in round
+        3).  The fused backend is TPU only, identity/diagonal mass, and
+        uses the hardware-PRNG stream.
     pallas_options : optional dict of fused-kernel tuning knobs:
         ``block_chains`` (chains per kernel block) and ``vmem_limit_mb``
-        (Mosaic scoped-VMEM budget; pallas2 only).
+        (Mosaic scoped-VMEM budget).
     warmup_tree_depth : optional smaller doubling cap used during warmup
         only.  Pre-adaptation metrics make early trees hit the depth cap,
         and under vmap every chain pays the deepest tree in the batch; a
@@ -200,8 +200,10 @@ class NUTS(BatchSampler):
         self._dense = cfg.adaptation == "dense"
         if backend not in ("xla", "pallas", "pallas2"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend.startswith("pallas") and self._dense:
-            raise ValueError("pallas backends support identity/diagonal mass only")
+        if backend == "pallas2":  # alias kept from the two-kernel era
+            backend = "pallas"
+        if backend == "pallas" and self._dense:
+            raise ValueError("the pallas backend supports identity/diagonal mass only")
         self.backend = backend
         self.pallas_options = dict(pallas_options or {})
         # Optional reduced-precision checkpoint stacks for the XLA tree
@@ -292,13 +294,9 @@ class NUTS(BatchSampler):
         dtype = carry["pos"].dtype
         m1 = (m + 1).astype(dtype)  # 1-based step number
 
-        if self.backend.startswith("pallas"):
+        if self.backend == "pallas":
             from ..ops.tree import TreeStepResult
-
-            if self.backend == "pallas2":
-                from ..ops.pallas_nuts2 import pallas_nuts2_step as step_kernel
-            else:
-                from ..ops.pallas_nuts import pallas_nuts_step as step_kernel
+            from ..ops.pallas_nuts2 import pallas_nuts2_step as step_kernel
 
             # Distinct hardware-PRNG seed per step (golden-ratio stride,
             # wrapped into int32 range).

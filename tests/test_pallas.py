@@ -63,9 +63,9 @@ def test_fused_hmc_tpu_moments():
 
 
 def test_pallas_nuts_interpret_moments():
-    """Repeated fused-NUTS transitions under the interpreter with the hash
-    PRNG fallback reach the target distribution."""
-    from general_mcmc_tpu.ops.pallas_nuts import pallas_nuts_step
+    """Repeated fused-NUTS (v2 kernel) transitions under the interpreter with
+    the hash PRNG fallback reach the target distribution."""
+    from general_mcmc_tpu.ops.pallas_nuts2 import pallas_nuts2_step
 
     t = _target()
     logp = t.unnorm_logp
@@ -75,7 +75,7 @@ def test_pallas_nuts_interpret_moments():
 
     @jax.jit  # seed is a traced SMEM input: one kernel trace for all steps
     def step(pos, lp, grad, seed):
-        return pallas_nuts_step(
+        return pallas_nuts2_step(
             logp, pos, lp, grad,
             jnp.full((32,), 0.4, jnp.float32),
             jnp.ones((32, 2), jnp.float32),
@@ -95,37 +95,9 @@ def test_pallas_nuts_interpret_moments():
     )
 
 
-def test_pallas_nuts_interpret_structure():
-    """Fused NUTS kernel: structural check under the TPU interpreter
-    (degenerate stubbed PRNG → only shapes/termination/finiteness)."""
-    from general_mcmc_tpu.ops.pallas_nuts import pallas_nuts_step
-
-    t = _target()
-    logp = t.unnorm_logp
-    pos = init_det(8, 2).astype(jnp.float32)
-    lp, grad = jax.vmap(jax.value_and_grad(logp))(pos)
-    out = pallas_nuts_step(
-        logp,
-        pos,
-        lp.astype(jnp.float32),
-        grad.astype(jnp.float32),
-        jnp.full((8,), 0.3, jnp.float32),
-        jnp.ones((8, 2), jnp.float32),
-        jnp.ones((8, 2), jnp.float32),
-        seed=0,
-        max_depth=6,
-        interpret=True,
-    )
-    new_pos, new_lp, new_grad, alpha, n_alpha, leapfrogs, depth, diverged = out
-    assert new_pos.shape == (8, 2) and new_grad.shape == (8, 2)
-    assert np.isfinite(np.asarray(new_pos)).all()
-    assert np.all(np.asarray(n_alpha) >= 1)
-    assert np.all(np.asarray(leapfrogs) >= 1)
-    assert np.all(np.asarray(depth) >= 1)
-
-
 @pytest.mark.skipif(not _ON_TPU, reason="needs real TPU PRNG")
 def test_pallas_nuts_tpu_moments():
+    """backend="pallas" routes to the v2 (block-synchronized) fused kernel."""
     from general_mcmc_tpu import NUTS
 
     sampler = NUTS(_target(), init_det(512, 2), 0.8, backend="pallas").set_seed(3)
