@@ -19,8 +19,11 @@ from .diagnostics.stats import (
     RunStats,
     basic_stats,
     collect_rhat,
+    ess_bulk,
     ess_from_chainstats,
+    ess_tail,
     max_skipnan,
+    rank_normalized_rhat,
     split_rhat_mean_ess,
 )
 from .models import distributions

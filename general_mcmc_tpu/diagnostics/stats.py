@@ -37,6 +37,9 @@ __all__ = [
     "collect_rhat",
     "max_skipnan",
     "split_rhat_mean_ess",
+    "rank_normalized_rhat",
+    "ess_bulk",
+    "ess_tail",
     "ess_from_chainstats",
     "autocov",
     "autocov_fft",
@@ -362,8 +365,7 @@ def _pick_chain_chunk(c0: int, want: int) -> int:
     return min(want, c0)
 
 
-@functools.partial(jax.jit, static_argnames=("split", "steps_major"))
-def _chunk_suffstats(blk: jax.Array, split: bool, steps_major: bool):
+def _chunk_suffstats_of(blk: jax.Array, split: bool, steps_major: bool):
     """Sufficient statistics of one chains-chunk: per-(split-)chain means and
     biased within-chain squared deviations ([cc, p] each) plus the SUM over
     the chunk's chains of per-chain autocovariances ([n, p]).
@@ -381,6 +383,47 @@ def _chunk_suffstats(blk: jax.Array, split: bool, steps_major: bool):
     sq = jnp.mean((blk - chain_means[:, None, :]) ** 2, axis=1)  # biased /n
     acov_sum = jnp.sum(autocov_fft(blk), axis=0)  # (n, p)
     return chain_means, sq, acov_sum
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "w", "steps_major"))
+def _l1_block(sample: jax.Array, lo: int, w: int, steps_major: bool):
+    """Level-1 chunk: STATIC slice of ``w`` chains, rotated to chains-major.
+
+    Round-3 TPU findings that shape this two-level design (verified
+    empirically at the [3072, 10240, 100] bench shape on the v5e tunnel):
+
+    - a TRACED-offset ``dynamic_slice`` on the chains (sublane) axis
+      materializes a full-size relayout temp at runtime → immediate
+      RESOURCE_EXHAUSTED beside a >10 GB sample (the lane axis was round
+      2's equivalent failure);
+    - STATIC sublane slices execute cleanly, but one-static-slice-per-chunk
+      means O(c0/chunk) distinct executables (256 at the bench shape), and
+      keeping all chunk outputs on device for a 256-operand concatenate
+      exhausts backend resources at finalize.
+
+    So: O(sqrt(#chunks)) static L1 slices (bounded executable count, each a
+    bounded ~1 GB copy that also performs the steps→chains transpose), and
+    the per-chunk L2 slicing happens with a traced offset on the MAJOR axis
+    of the L1 block — plain pointer arithmetic, no relayout — through ONE
+    executable.  Outputs are fetched to host per chunk (tiny), so nothing
+    accumulates on device."""
+    blk = (
+        jax.lax.slice_in_dim(sample, lo, lo + w, axis=1)
+        if steps_major
+        else jax.lax.slice_in_dim(sample, lo, lo + w, axis=0)
+    )
+    if steps_major:
+        blk = jnp.swapaxes(blk, 0, 1)  # → [w, n, p] chains-major
+    return blk
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "split"))
+def _chunk_suffstats(blk1: jax.Array, k, chunk: int, split: bool):
+    """Level-2 chunk: traced-offset slice on the MAJOR (chains) axis of a
+    chains-major L1 block + sufficient statistics.  One executable serves
+    every chunk of every L1 block (see :func:`_l1_block`)."""
+    blk = jax.lax.dynamic_slice_in_dim(blk1, k, chunk, axis=0)
+    return _chunk_suffstats_of(blk, split=split, steps_major=False)
 
 
 @jax.jit
@@ -438,17 +481,41 @@ def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
         return jnp.sqrt(var / within), _ess(blk, within, var)
 
     chunk = _pick_chain_chunk(c0, want)
-    means_parts, sq_parts, acov_total = [], [], None
-    for lo in range(0, c0, chunk):
-        hi = min(lo + chunk, c0)
-        blk = sample[:, lo:hi] if steps_major else sample[lo:hi]
-        m_c, sq_c, a_c = _chunk_suffstats(blk, split=split, steps_major=steps_major)
-        means_parts.append(m_c)
-        sq_parts.append(sq_c)
-        acov_total = a_c if acov_total is None else acov_total + a_c
-    chain_means = jnp.concatenate(means_parts, axis=0)
-    sq = jnp.concatenate(sq_parts, axis=0)
-    return _combine_suffstats(chain_means, sq, acov_total)
+    n_chunks = -(-c0 // chunk)
+    # L1 width: ~sqrt(#chunks) chunks per L1 block balances the distinct-
+    # executable counts of the two levels, capped so an L1 block (a real
+    # copy, transposed in steps-major mode) stays ≲ 1 GiB.
+    per_chain_bytes = n0 * p * 4
+    w_cap = max(chunk, int((2**30) // per_chain_bytes) // chunk * chunk)
+    W = min(max(chunk, int(n_chunks**0.5) * chunk), w_cap, c0)
+
+    # Host-side accumulation: per-chunk outputs are tiny ([cc,p] + [n,p]);
+    # fetching them to numpy each iteration (a) throttles dispatch so only
+    # ~one L1 block + one chunk's temps are ever live on device, and
+    # (b) avoids a many-operand on-device concatenate at finalize.
+    means_np, sq_np, acov_np = [], [], None
+
+    def eat(m_c, sq_c, a_c):
+        nonlocal acov_np
+        means_np.append(np.asarray(m_c))
+        sq_np.append(np.asarray(sq_c))
+        a = np.asarray(a_c)
+        acov_np = a if acov_np is None else acov_np + a
+
+    for lo in range(0, c0, W):
+        w = min(W, c0 - lo)
+        blk1 = _l1_block(sample, lo, w, steps_major)
+        for k in range(0, w - chunk + 1, chunk):
+            eat(*_chunk_suffstats(blk1, k, chunk, split=split))
+        rem = w % chunk
+        if rem:
+            eat(*_chunk_suffstats(blk1, w - rem, rem, split=split))
+        del blk1  # np.asarray above already synced its consumers
+    return _combine_suffstats(
+        jnp.asarray(np.concatenate(means_np, axis=0)),
+        jnp.asarray(np.concatenate(sq_np, axis=0)),
+        jnp.asarray(acov_np),
+    )
 
 
 def split_rhat_mean_ess(sample, steps_major: bool = False):
@@ -461,6 +528,86 @@ def split_rhat_mean_ess(sample, steps_major: bool = False):
     return _split_rhat_ess_impl(
         jnp.asarray(sample), split=True, steps_major=steps_major
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-normalized diagnostics (Vehtari, Gelman, Simpson, Carpenter, Bürkner
+# 2021, "Rank-normalization, folding, and localization: an improved R-hat").
+# The reference lists these as unshipped roadmap work (lib.rs:225-227); this
+# rebuild ships them.  They operate on the full (moderate-size) sample —
+# the rank transform needs a pooled sort per parameter — so the >10 GB bench
+# path keeps the chunked classic split-R-hat as its gate; use these for
+# final-quality diagnostics on collected posteriors.
+# ---------------------------------------------------------------------------
+
+
+def _as_chains_major(sample, steps_major: bool) -> jax.Array:
+    x = jnp.asarray(sample, jnp.float32)
+    return jnp.swapaxes(x, 0, 1) if steps_major else x
+
+
+def _rank_normalize(x: jax.Array) -> jax.Array:
+    """Pooled fractional-rank normal transform per parameter: ranks over all
+    c·n draws, z = Φ⁻¹((r − 3/8)/(S + 1/4)) (Vehtari et al. 2021, eq. 14;
+    Blom offsets).  Ties (measure-zero for continuous draws) break by sort
+    order."""
+    from jax.scipy.special import ndtri
+
+    c, n, p = x.shape
+    flat = x.reshape(c * n, p)
+    # rank = position in sort order: argsort(argsort) gives 0-based ranks
+    r = jnp.argsort(jnp.argsort(flat, axis=0), axis=0).astype(jnp.float32) + 1.0
+    z = ndtri((r - 0.375) / (c * n + 0.25))
+    return z.reshape(c, n, p)
+
+
+def _split_rhat_of(x: jax.Array) -> jax.Array:
+    blk = _splitcat(x)
+    within, var = _withinvar(blk)
+    return jnp.sqrt(var / within)
+
+
+def rank_normalized_rhat(sample, steps_major: bool = False) -> jax.Array:
+    """max(bulk, folded) rank-normalized split-R-hat per parameter.
+
+    ``bulk`` is split-R-hat of the rank-normal-transformed draws (catches
+    location disagreement robustly, even for heavy-tailed targets);
+    ``folded`` applies the same transform to ζ = |θ − median(θ)| (catches
+    SCALE disagreement, which classic R-hat is blind to: chains with equal
+    means but different variances pass sqrt(V̂/W) ≈ 1).  Convergence gate:
+    max < 1.01 (Vehtari et al. 2021 recommend this over 1.1)."""
+    x = _as_chains_major(sample, steps_major)
+    bulk = _split_rhat_of(_rank_normalize(x))
+    med = jnp.median(x.reshape(-1, x.shape[-1]), axis=0)
+    folded = _split_rhat_of(_rank_normalize(jnp.abs(x - med)))
+    return jnp.maximum(bulk, folded)
+
+
+def ess_bulk(sample, steps_major: bool = False) -> jax.Array:
+    """Split ESS of the rank-normal-transformed draws (Vehtari et al. 2021
+    §4.1) — the robust replacement for mean-ESS on heavy-tailed targets."""
+    x = _as_chains_major(sample, steps_major)
+    blk = _splitcat(_rank_normalize(x))
+    within, var = _withinvar(blk)
+    return _ess(blk, within, var)
+
+
+def ess_tail(sample, steps_major: bool = False) -> jax.Array:
+    """Tail ESS: min over the 5% and 95% pooled-quantile indicator series of
+    their split ESS (Vehtari et al. 2021 §4.3).  Low tail-ESS flags
+    unreliable credible-interval endpoints even when bulk ESS looks fine.
+    Degenerate (constant) indicator series yield NaN."""
+    x = _as_chains_major(sample, steps_major)
+    flat = x.reshape(-1, x.shape[-1])
+
+    def ess_q(q):
+        cut = jnp.quantile(flat, q, axis=0)
+        ind = (x <= cut).astype(jnp.float32)
+        blk = _splitcat(ind)
+        within, var = _withinvar(blk)
+        return _ess(blk, within, var)
+
+    return jnp.minimum(ess_q(0.05), ess_q(0.95))
 
 
 def ess_from_chainstats(sample, chain_stats: list[ChainStats]) -> jax.Array:
@@ -517,15 +664,39 @@ def basic_stats(name: str, data) -> BasicStats:
 
 @dataclasses.dataclass
 class RunStats:
-    """ESS + split-R-hat summaries of a finished run (stats.rs:370-394)."""
+    """ESS + split-R-hat summaries of a finished run (stats.rs:370-394).
+
+    ``rank_rhat``/``tail_ess`` (rank-normalized max(bulk, folded) R-hat and
+    tail ESS, Vehtari et al. 2021) are populated by
+    ``from_sample(..., rank_normalized=True)`` — diagnostics the reference
+    only roadmapped (lib.rs:225-227)."""
 
     ess: BasicStats
     rhat: BasicStats
+    rank_rhat: BasicStats | None = None
+    tail_ess: BasicStats | None = None
 
     def __str__(self):
-        return f"{self.ess}\n{self.rhat}"
+        lines = [str(self.ess), str(self.rhat)]
+        if self.rank_rhat is not None:
+            lines.append(str(self.rank_rhat))
+        if self.tail_ess is not None:
+            lines.append(str(self.tail_ess))
+        return "\n".join(lines)
 
     @classmethod
-    def from_sample(cls, sample) -> "RunStats":
+    def from_sample(cls, sample, rank_normalized: bool = False) -> "RunStats":
         rhat, ess = split_rhat_mean_ess(sample)
-        return cls(ess=basic_stats("ESS", ess), rhat=basic_stats("Split R-hat", rhat))
+        extra = {}
+        if rank_normalized:
+            extra = dict(
+                rank_rhat=basic_stats(
+                    "Rank-normalized R-hat", rank_normalized_rhat(sample)
+                ),
+                tail_ess=basic_stats("Tail ESS", ess_tail(sample)),
+            )
+        return cls(
+            ess=basic_stats("ESS", ess),
+            rhat=basic_stats("Split R-hat", rhat),
+            **extra,
+        )

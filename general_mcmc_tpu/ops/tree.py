@@ -245,9 +245,17 @@ def build_subtree(
     writes are *unconditional* dynamic-slice updates — odd leaves write to a
     spare slot — so no full-stack select copies ever materialize; the stack
     holds (position, velocity, position·velocity) so each U-turn check is
-    two [slots, d] matvecs against values already stored.  ``collect_edges``
-    additionally tracks the first-leaf state (golden tests / reference
-    parity only; off on the hot path).
+    two [slots, d] matvecs against values already stored.  On the hot path
+    (``collect_edges=False``) the proposal's log-density and gradient are
+    NOT carried through the loop: only ``prop_pos`` rides the carry, and
+    :func:`nuts_tree_step` re-derives ``(lp, grad)`` from the selected
+    position once per transition — trading one extra gradient eval per
+    transition (~6% at depth 4) for two fewer [d] buffers streamed through
+    every leaf-pair iteration of both loops (round-3 carry-slimming;
+    ``prop_lp``/``prop_grad`` in the result are zeros then).
+    ``collect_edges`` additionally tracks the first-leaf state and the
+    in-loop ``prop_lp``/``prop_grad`` (golden tests / reference parity
+    only; off on the hot path).
     """
     dtype = pos.dtype
     d = pos.shape[0]
@@ -275,8 +283,6 @@ def build_subtree(
         mom=mom,
         grad=grad,
         prop_pos=zerod,
-        prop_lp=jnp.asarray(0.0, dtype),
-        prop_grad=zerod,
         n=jnp.asarray(0, jnp.int32),
         s=jnp.asarray(True),
         diverged=jnp.asarray(False),
@@ -288,7 +294,10 @@ def build_subtree(
         key=key,
     )
     if collect_edges:
-        init.update(first_pos=zerod, first_mom=zerod, first_grad=zerod)
+        init.update(
+            first_pos=zerod, first_mom=zerod, first_grad=zerod,
+            prop_lp=jnp.asarray(0.0, dtype), prop_grad=zerod,
+        )
 
     def cond(c):
         return (c["i"] < n_leaves) & c["s"]
@@ -319,8 +328,6 @@ def build_subtree(
         uA = jax.random.uniform(k_a, (), dtype)
         takeA = (i == 0) | (validA & (uA * nA.astype(dtype) < one))
         prop_pos = jnp.where(takeA, pA, c["prop_pos"])
-        prop_lp = jnp.where(takeA, lpA, c["prop_lp"])
-        prop_grad = jnp.where(takeA, gA, c["prop_grad"])
 
         slot = _ckpt_idx_max(i)  # popcount(i >> 1)
         slots = jnp.arange(n_slots)
@@ -343,8 +350,6 @@ def build_subtree(
         uB = jax.random.uniform(k_b, (), dtype)
         takeB = validB & (uB * nB.astype(dtype) < one)
         prop_pos = jnp.where(takeB, pB, prop_pos)
-        prop_lp = jnp.where(takeB, lpB, prop_lp)
-        prop_grad = jnp.where(takeB, gB, prop_grad)
 
         alpha = c["alpha"] + jnp.minimum(one, jnp.exp(jointA - joint0))
         alpha = alpha + jnp.where(
@@ -380,8 +385,6 @@ def build_subtree(
             mom=end_mom,
             grad=end_grad,
             prop_pos=prop_pos,
-            prop_lp=prop_lp,
-            prop_grad=prop_grad,
             n=nB,
             s=s,
             diverged=diverged,
@@ -398,6 +401,8 @@ def build_subtree(
                 first_pos=jnp.where(first, pA, c["first_pos"]),
                 first_mom=jnp.where(first, mA, c["first_mom"]),
                 first_grad=jnp.where(first, gA, c["first_grad"]),
+                prop_lp=jnp.where(takeB, lpB, jnp.where(takeA, lpA, c["prop_lp"])),
+                prop_grad=jnp.where(takeB, gB, jnp.where(takeA, gA, c["prop_grad"])),
             )
         return out
 
@@ -410,8 +415,8 @@ def build_subtree(
         first_mom=out.get("first_mom", zerod),
         first_grad=out.get("first_grad", zerod),
         prop_pos=out["prop_pos"],
-        prop_lp=out["prop_lp"],
-        prop_grad=out["prop_grad"],
+        prop_lp=out.get("prop_lp", jnp.asarray(0.0, dtype)),
+        prop_grad=out.get("prop_grad", zerod),
         n=out["n"],
         s=out["s"],
         diverged=out["diverged"],
@@ -485,8 +490,6 @@ def _first_doubling(c, eps, logu, joint0, mass, dense, vg_fn):
         mom_p=mom_p,
         grad_p=grad_p,
         prop_pos=jnp.where(take, pA, c["prop_pos"]),
-        prop_lp=jnp.where(take, lpA, c["prop_lp"]),
-        prop_grad=jnp.where(take, gA, c["prop_grad"]),
         n=c["n"] + nA,
         s=s,
         diverged=c["diverged"] | ~okA,
@@ -528,8 +531,6 @@ def nuts_tree_step(
         mom_p=mom0,
         grad_p=grad,
         prop_pos=pos,
-        prop_lp=lp,
-        prop_grad=grad,
         n=jnp.asarray(1, jnp.int32),
         s=jnp.asarray(True),
         diverged=jnp.asarray(False),
@@ -585,8 +586,6 @@ def nuts_tree_step(
         u = jax.random.uniform(kswap, (), dtype)
         take = sub.s & (u * c["n"].astype(dtype) < sub.n.astype(dtype))
         prop_pos = jnp.where(take, sub.prop_pos, c["prop_pos"])
-        prop_lp = jnp.where(take, sub.prop_lp, c["prop_lp"])
-        prop_grad = jnp.where(take, sub.prop_grad, c["prop_grad"])
 
         s = sub.s & _stop_criterion(pos_m, pos_p, mom_m, mom_p, mass, dense)
         return dict(
@@ -599,8 +598,6 @@ def nuts_tree_step(
             mom_p=mom_p,
             grad_p=grad_p,
             prop_pos=prop_pos,
-            prop_lp=prop_lp,
-            prop_grad=prop_grad,
             n=c["n"] + sub.n,
             s=s,
             diverged=c["diverged"] | sub.diverged,
@@ -610,10 +607,18 @@ def nuts_tree_step(
         )
 
     out = jax.lax.while_loop(cond, body, init)
+    # Re-derive the selected proposal's log-density and gradient ONCE per
+    # transition instead of streaming two [d] proposal buffers through every
+    # leaf-pair iteration of both loops (carry-slimming; see build_subtree
+    # docstring).  One extra gradient eval per transition, bit-equal values
+    # up to XLA fusion rounding.  Not counted in ``leapfrogs`` (that counter
+    # mirrors the reference's trajectory gradient evals, the ESS/grad-eval
+    # denominator).
+    lp_f, grad_f = vg_fn(out["prop_pos"])
     return TreeStepResult(
         pos=out["prop_pos"],
-        lp=out["prop_lp"],
-        grad=out["prop_grad"],
+        lp=lp_f.astype(dtype),
+        grad=grad_f.astype(dtype),
         alpha=out["alpha"],
         n_alpha=out["n_alpha"],
         depth=out["j"],

@@ -57,7 +57,33 @@ class BatchSampler:
     def __init__(self, n_chains: int, seed=None):
         self.n_chains = n_chains
         self._key = as_key(seed if seed is not None else 0)
-        self._step_fn = _StepFn(self._step, self._positions)
+        self._extract_fn = None
+        self._step_fn = self._make_step_fn()
+
+    def _make_step_fn(self) -> _StepFn:
+        """Build the runner-facing step wrapper, composing the optional
+        Trace hook (:meth:`track`) over ``_positions``."""
+        fn = self._extract_fn
+        if fn is None:
+            return _StepFn(self._step, self._positions)
+        return _StepFn(self._step, lambda carry: fn(self._positions(carry)))
+
+    def track(self, extract_fn: Callable | None):
+        """Set the Trace extension point (core.rs:34-72): a pure jittable map
+        ``[n_chains, dim] positions -> [n_chains, k] tracked quantities``
+        applied inside the sampling scan, so collected samples, streaming
+        progress statistics, and post-run diagnostics all see the derived
+        quantities instead of raw positions — e.g. track β = μ + τ·z of a
+        non-centered hierarchical model and get R-hat/ESS on the β scale
+        (examples/regression_nc_track.py).  ``None`` restores raw positions.
+        Returns ``self`` (builder style, like ``seed``)."""
+        self._extract_fn = extract_fn
+        # fresh identity so the jitted runner cannot serve a compilation
+        # traced with the previous extract map
+        self._step_fn = self._make_step_fn()
+        if hasattr(self, "_stepfn_cache"):
+            self._stepfn_cache.clear()
+        return self
 
     # -- subclass interface -------------------------------------------------
     def _prepare_run(self, n_collect: int, n_discard: int) -> None:
@@ -145,7 +171,7 @@ class BatchSampler:
         """
         self._prepare_run(n_collect, n_discard)
         carry = self._init_carry()
-        dim = self._positions(carry).shape[-1]
+        dim = self._step_fn.extract(carry).shape[-1]
         total = n_discard + n_collect
         renderer = (
             ProgressRenderer(self.n_chains, total) if progress else None

@@ -238,9 +238,9 @@ class NUTS(BatchSampler):
         cache = getattr(self, "_stepfn_cache", None)
         if cache is None:
             cache = self._stepfn_cache = {}
-        key = (n_collect, n_discard)
+        key = (n_collect, n_discard, id(self._extract_fn))
         if key not in cache:
-            cache[key] = _StepFn(self._step, self._positions)
+            cache[key] = self._make_step_fn()
         self._step_fn = cache[key]
 
     # -- carry --------------------------------------------------------------

@@ -91,6 +91,17 @@ def test_logistic_nuts():
     assert np.all(np.sign(beta_hat[strong]) == np.sign(beta_true[strong]))
 
 
+def test_regression_nc_track():
+    import regression_nc_track
+
+    sample, stats, beta_true = regression_nc_track.main(
+        n_obs=120, n_features=4, n_chains=32, n_collect=150, n_warmup=150
+    )
+    # tracked quantity is beta (p dims), not theta (p+2 dims)
+    assert sample.shape == (32, 150, 4)
+    assert stats.rhat.max < 1.2  # R-hat computed on the transformed scale
+
+
 def test_sharded_nuts_example():
     import sharded_nuts
 

@@ -138,6 +138,32 @@ def test_nuts_gaussian_moments_and_ess():
     )
 
 
+def test_track_extract_matches_posthoc_transform():
+    """The Trace hook (core.rs:34-72): a tracked run must collect exactly the
+    transform of the untracked run's draws (same seed → same RNG stream →
+    same trajectories), across run(), run_progress(), and both progress
+    modes."""
+    def fn(x):
+        return jnp.stack([x[:, 0] + x[:, 1], x[:, 0] * 2.0], axis=1)
+
+    base = NUTS(_gauss_target(), init_det(4, 2), 0.8).set_seed(7)
+    raw = base.run(60, 40)
+
+    tracked = NUTS(_gauss_target(), init_det(4, 2), 0.8).set_seed(7).track(fn)
+    got = tracked.run(60, 40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fn(raw.reshape(-1, 2)).reshape(4, 60, 2)), rtol=1e-6)
+
+    # run_progress (both modes) tracks the transformed quantity too
+    for mode in ("chunked", "stream"):
+        s2 = NUTS(_gauss_target(), init_det(4, 2), 0.8).set_seed(7).track(fn)
+        got2, stats = s2.run_progress(60, 40, progress=False, mode=mode)
+        assert got2.shape == (4, 60, 2)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(got), rtol=1e-6)
+
+    # track(None) restores raw positions, with a fresh compilation identity
+    assert tracked.track(None).run(60, 40).shape == raw.shape
+
+
 def test_nuts_rosenbrock_smoke():
     # examples/minimal_nuts.rs configuration (scaled down)
     sampler = NUTS(Rosenbrock2D(1.0, 100.0), init_det(4, 2), 0.95).set_seed(42)

@@ -18,7 +18,10 @@ from general_mcmc_tpu.diagnostics.stats import (
     autocov_fft,
     basic_stats,
     collect_rhat,
+    ess_bulk,
+    ess_tail,
     max_skipnan,
+    rank_normalized_rhat,
     split_rhat_mean_ess,
 )
 
@@ -157,6 +160,85 @@ def test_steps_major_matches_chain_major():
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5)
 
 
+def test_rank_normalize_matches_numpy_oracle():
+    """The pooled fractional-rank normal transform must match a direct numpy
+    implementation of Vehtari et al. 2021 eq. 14 (Blom offsets 3/8, 1/4)."""
+    from scipy.stats import norm
+
+    import general_mcmc_tpu.diagnostics.stats as S
+
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (3, 40, 2), jnp.float32) * 2.0 + 1.0
+    z = np.asarray(S._rank_normalize(jnp.asarray(x, jnp.float32)))
+    flat = np.asarray(x).reshape(-1, 2)
+    S_n = flat.shape[0]
+    for k in range(2):
+        ranks = np.empty(S_n)
+        ranks[np.argsort(flat[:, k])] = np.arange(1, S_n + 1)
+        expected = norm.ppf((ranks - 0.375) / (S_n + 0.25))
+        np.testing.assert_allclose(z[:, :, k].reshape(-1), expected, atol=1e-4)
+
+
+def test_rank_rhat_iid_near_one_and_tail_ess_sane():
+    key = jax.random.key(12)
+    x = jax.random.normal(key, (4, 1000, 2), jnp.float32)
+    rr = rank_normalized_rhat(x)
+    assert float(jnp.max(rr)) < 1.01
+    te = ess_tail(x)
+    be = ess_bulk(x)
+    # iid draws: tail and bulk ESS are near the total draw count 4000
+    assert float(jnp.min(te)) > 2500.0
+    assert float(jnp.min(be)) > 3000.0
+
+
+def test_folded_rank_rhat_catches_scale_disagreement():
+    """Chains with EQUAL means but different variances: classic split-R-hat
+    is blind (B ≈ 0 ⇒ sqrt(V̂/W) ≈ 1) while the folded rank-normalized
+    component must flag the failure — the paper's motivating case."""
+    key = jax.random.key(13)
+    x = np.array(jax.random.normal(key, (4, 800, 1), jnp.float32))
+    x *= np.array([0.3, 1.0, 2.5, 5.0])[:, None, None]  # same mean, mixed scales
+    classic, _ = split_rhat_mean_ess(x)
+    rr = rank_normalized_rhat(x)
+    assert float(classic[0]) < 1.05  # classic barely notices
+    assert float(rr[0]) > 1.2  # folded rank component flags it hard
+
+
+def test_rank_rhat_detects_location_disagreement_heavy_tails():
+    """Shifted heavy-tailed (Cauchy) chains: rank normalization keeps R-hat
+    meaningful where moment-based R-hat is dominated by tail draws."""
+    key = jax.random.key(14)
+    x = np.asarray(jax.random.cauchy(key, (4, 800, 1)), np.float32)
+    x += np.array([0.0, 0.0, 6.0, 6.0])[:, None, None]
+    rr = rank_normalized_rhat(x)
+    assert float(rr[0]) > 1.2
+
+
+def test_runstats_rank_normalized_fields():
+    key = jax.random.key(15)
+    x = jax.random.normal(key, (4, 300, 2), jnp.float32)
+    rs = RunStats.from_sample(x, rank_normalized=True)
+    assert rs.rank_rhat is not None and rs.tail_ess is not None
+    assert rs.rank_rhat.max < 1.02
+    assert "Tail ESS" in str(rs)
+    assert RunStats.from_sample(x).rank_rhat is None
+
+
+def test_steps_major_rank_apis_match():
+    key = jax.random.key(16)
+    x = jax.random.normal(key, (4, 200, 3), jnp.float32)
+    xt = jnp.swapaxes(x, 0, 1)
+    np.testing.assert_allclose(
+        np.asarray(rank_normalized_rhat(x)),
+        np.asarray(rank_normalized_rhat(xt, steps_major=True)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ess_tail(x)), np.asarray(ess_tail(xt, steps_major=True)),
+        rtol=1e-5,
+    )
+
+
 def test_chunked_matches_single_shot(monkeypatch):
     """Forcing the chain-chunked path must reproduce the one-shot result (per-
     chain sufficient statistics combine exactly across chunks)."""
@@ -201,36 +283,35 @@ def test_diagnostics_memory_bounded_at_bench_shape():
     from general_mcmc_tpu.diagnostics import stats as S
 
     n0, c0, p = 3072, 10_240, 100
-    sample_bytes = n0 * c0 * p * 4
     c, n = 2 * c0, n0 // 2
     want = max(1, S._ess_chain_chunk(c, n, p) // 2)
     assert want < c0  # the bench shape must engage chunking
     chunk = S._pick_chain_chunk(c0, want)
 
-    blk = jax.ShapeDtypeStruct((n0, chunk, p), jnp.float32)
-    compiled = S._chunk_suffstats.lower(blk, split=True, steps_major=True).compile()
-    ma = compiled.memory_analysis()
-    chunk_total = (
-        ma.temp_size_in_bytes + ma.output_size_in_bytes + ma.argument_size_in_bytes
+    # L1 takes the FULL sample as an argument and must emit only a bounded
+    # block (arguments alias the existing buffer; a full-size relayout like
+    # round 2's pad temp would show up as ~12 GiB of temp/output here).
+    n_chunks = -(-c0 // chunk)
+    per_chain_bytes = n0 * p * 4
+    w_cap = max(chunk, int(2**30 // per_chain_bytes) // chunk * chunk)
+    W = min(max(chunk, int(n_chunks**0.5) * chunk), w_cap, c0)
+    full = jax.ShapeDtypeStruct((n0, c0, p), jnp.float32)
+    ma1 = (
+        S._l1_block.lower(full, 0, W, steps_major=True).compile().memory_analysis()
     )
-    # one chunk's whole footprint stays under ~1.5 GB (vs 11.7 GB sample)
-    assert chunk_total < 1.5 * 2**30, f"chunk program uses {chunk_total / 2**30:.2f} GiB"
+    extra1 = ma1.temp_size_in_bytes + ma1.output_size_in_bytes
+    assert extra1 < 2.5 * 2**30, f"L1 block temps {extra1 / 2**30:.2f} GiB"
+
+    # L2 slices the L1 block with a traced major-axis offset; its whole
+    # footprint (args = one L1 block + temps + outputs) must stay bounded.
+    blk1 = jax.ShapeDtypeStruct((W, n0, p), jnp.float32)
+    k = jax.ShapeDtypeStruct((), jnp.int32)
+    ma = S._chunk_suffstats.lower(blk1, k, chunk, split=True).compile().memory_analysis()
+    extra = ma.temp_size_in_bytes + ma.output_size_in_bytes + ma.argument_size_in_bytes
+    assert extra < 3.5 * 2**30, f"chunk program footprint {extra / 2**30:.2f} GiB"
 
     means = jax.ShapeDtypeStruct((c, p), jnp.float32)
     sq = jax.ShapeDtypeStruct((c, p), jnp.float32)
     acov = jax.ShapeDtypeStruct((n, p), jnp.float32)
     ma2 = jax.jit(S._combine_suffstats).lower(means, sq, acov).compile().memory_analysis()
     assert ma2.temp_size_in_bytes + ma2.output_size_in_bytes < 64 * 2**20
-
-    # The host-side slice sample[:, lo:hi] is the only op that sees the full
-    # array; its compiled program must not materialize any full-size temp.
-    full = jax.ShapeDtypeStruct((n0, c0, p), jnp.float32)
-    ma3 = (
-        jax.jit(lambda s: jax.lax.slice_in_dim(s, 0, chunk, axis=1))
-        .lower(full)
-        .compile()
-        .memory_analysis()
-    )
-    assert ma3.temp_size_in_bytes < sample_bytes // 4, (
-        f"slice temp {ma3.temp_size_in_bytes / 2**30:.2f} GiB — full-size relayout"
-    )
