@@ -172,9 +172,11 @@ def run_kernel_progress_stream(
     fresh compile at every distinct remainder-chunk length).  A streaming
     :class:`~..diagnostics.stats.MultiChainTracker` state rides in the scan
     carry, and every ``stride`` steps an ordered ``io_callback`` emits three
-    scalars plus the first ≤5 chains' acceptance EWMAs —
-    ``hook(steps_done, max_rhat, p_accept, p_chain_head)`` — so the host
-    sees O(1) bytes per tick instead of the state block.  This is the closest
+    scalars plus a rotating ≤5-chain window of acceptance EWMAs —
+    ``hook(steps_done, max_rhat, p_accept, window_start, p_chain_window)``
+    — so the host sees O(1) bytes per tick instead of the state block.  The
+    window start advances one chain per tick, cycling every chain's bar
+    through the display (core.rs:288-296, 344-360).  This is the closest
     analog of the reference's 1 Hz mpsc ``ChainStats`` messages
     (core.rs:151-175): sufficient statistics leave the device, samples never
     do.
@@ -197,16 +199,24 @@ def run_kernel_progress_stream(
             jnp.max(jnp.where(finite, rhat, -jnp.inf)),
             jnp.nan,
         )
-        # first ≤5 chains' acceptance EWMAs — the chain-bar statistic
-        # (core.rs:288-306); O(1) bytes regardless of n_chains
-        n_head = min(5, tstate.p_chain.shape[0])
+        # a ROTATING ≤5-chain window of acceptance EWMAs — the reference
+        # rotates live bars across all chains (core.rs:288-296, 344-360);
+        # the window start advances one chain per emitted tick and the
+        # wraparound gather happens on device, so the host still sees O(1)
+        # bytes regardless of n_chains
+        n_chains_t = tstate.p_chain.shape[0]
+        n_head = min(5, n_chains_t)
+        start = (jnp.asarray(done, jnp.int32) // stride) % n_chains_t
+        wrapped = jnp.concatenate([tstate.p_chain, tstate.p_chain[:n_head]])
+        window = jax.lax.dynamic_slice_in_dim(wrapped, start, n_head)
         io_callback(
             hook,
             None,
             done,
             max_rhat.astype(jnp.float32),
             tstate.p_accept.astype(jnp.float32),
-            tstate.p_chain[:n_head].astype(jnp.float32),
+            start,
+            window.astype(jnp.float32),
             ordered=True,
         )
 

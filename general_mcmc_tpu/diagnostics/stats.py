@@ -385,45 +385,49 @@ def _chunk_suffstats_of(blk: jax.Array, split: bool, steps_major: bool):
     return chain_means, sq, acov_sum
 
 
-@functools.partial(jax.jit, static_argnames=("lo", "w", "steps_major"))
-def _l1_block(sample: jax.Array, lo: int, w: int, steps_major: bool):
-    """Level-1 chunk: STATIC slice of ``w`` chains, rotated to chains-major.
+@functools.partial(jax.jit, static_argnames=("W", "chunk", "split", "steps_major"))
+def _suffstats_all(sample: jax.Array, W: int, chunk: int, split: bool,
+                   steps_major: bool):
+    """ALL chunks' sufficient statistics in ONE compiled program: an outer
+    ``lax.map`` over blocks of ``W`` chains (traced-offset chains slice +
+    steps→chains rotation), an inner ``lax.map`` over ``chunk``-chain
+    sub-blocks of the rotated block (traced-offset major-axis slice + FFT
+    autocovariance).
 
-    Round-3 TPU findings that shape this two-level design (verified
-    empirically at the [3072, 10240, 100] bench shape on the v5e tunnel):
+    Why this exact shape (round-3 TPU findings at [3072, 10240, 100]):
 
-    - a TRACED-offset ``dynamic_slice`` on the chains (sublane) axis
-      materializes a full-size relayout temp at runtime → immediate
-      RESOURCE_EXHAUSTED beside a >10 GB sample (the lane axis was round
-      2's equivalent failure);
-    - STATIC sublane slices execute cleanly, but one-static-slice-per-chunk
-      means O(c0/chunk) distinct executables (256 at the bench shape), and
-      keeping all chunk outputs on device for a 256-operand concatenate
-      exhausts backend resources at finalize.
+    - one-static-slice-per-chunk compiles O(c0/chunk) distinct executables
+      (256 at the bench shape) — minutes of remote-compile churn and a
+      finalize that exhausted backend resources when outputs stayed on
+      device for a many-operand concatenate;
+    - a chunk-per-dispatch host loop works but costs 256 tunnel round
+      trips (~10 min wall on the remote-TPU tunnel);
+    - a single FLAT map over all 256 chunks crashes the remote compile
+      helper (HTTP 500) — the unrolled FFT body is too much program;
+    - the NESTED two-level map compiles to temp ≈ 1.7 GB at the bench
+      shape (verified via compile-only memory_analysis on the TPU backend)
+      and runs as ONE dispatch.
 
-    So: O(sqrt(#chunks)) static L1 slices (bounded executable count, each a
-    bounded ~1 GB copy that also performs the steps→chains transpose), and
-    the per-chunk L2 slicing happens with a traced offset on the MAJOR axis
-    of the L1 block — plain pointer arithmetic, no relayout — through ONE
-    executable.  Outputs are fetched to host per chunk (tiny), so nothing
-    accumulates on device."""
-    blk = (
-        jax.lax.slice_in_dim(sample, lo, lo + w, axis=1)
-        if steps_major
-        else jax.lax.slice_in_dim(sample, lo, lo + w, axis=0)
-    )
-    if steps_major:
-        blk = jnp.swapaxes(blk, 0, 1)  # → [w, n, p] chains-major
-    return blk
+    Requires ``chunk | W`` and ``W | c0`` (callers arrange this; remainder
+    configs use the single-shot path or a fallback chunk choice)."""
+    p = sample.shape[-1]
+    axis = 1 if steps_major else 0
+    c0 = sample.shape[axis]
 
+    def outer(g):
+        blk1 = jax.lax.dynamic_slice_in_dim(sample, g * W, W, axis=axis)
+        if steps_major:
+            blk1 = jnp.swapaxes(blk1, 0, 1)  # → [W, n, p] chains-major
 
-@functools.partial(jax.jit, static_argnames=("chunk", "split"))
-def _chunk_suffstats(blk1: jax.Array, k, chunk: int, split: bool):
-    """Level-2 chunk: traced-offset slice on the MAJOR (chains) axis of a
-    chains-major L1 block + sufficient statistics.  One executable serves
-    every chunk of every L1 block (see :func:`_l1_block`)."""
-    blk = jax.lax.dynamic_slice_in_dim(blk1, k, chunk, axis=0)
-    return _chunk_suffstats_of(blk, split=split, steps_major=False)
+        def inner(k):
+            blk = jax.lax.dynamic_slice_in_dim(blk1, k * chunk, chunk, axis=0)
+            return _chunk_suffstats_of(blk, split=split, steps_major=False)
+
+        ms, sqs, acs = jax.lax.map(inner, jnp.arange(W // chunk))
+        return ms.reshape(-1, p), sqs.reshape(-1, p), jnp.sum(acs, axis=0)
+
+    ms, sqs, acs = jax.lax.map(outer, jnp.arange(c0 // W))
+    return ms.reshape(-1, p), sqs.reshape(-1, p), jnp.sum(acs, axis=0)
 
 
 @jax.jit
@@ -481,41 +485,24 @@ def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
         return jnp.sqrt(var / within), _ess(blk, within, var)
 
     chunk = _pick_chain_chunk(c0, want)
-    n_chunks = -(-c0 // chunk)
-    # L1 width: ~sqrt(#chunks) chunks per L1 block balances the distinct-
-    # executable counts of the two levels, capped so an L1 block (a real
-    # copy, transposed in steps-major mode) stays ≲ 1 GiB.
+    if c0 % chunk:
+        # No convenient divisor (rare, small-c0 configs): shrink chunk to a
+        # divisor even if tiny — correctness over block efficiency.
+        chunk = next(d for d in range(chunk, 0, -1) if c0 % d == 0)
+    n_chunks = c0 // chunk
+    # Outer-block width: ~sqrt(#chunks) chunks per block balances the two
+    # map levels, capped so a rotated block stays ≲ 1 GiB; must divide
+    # n_chunks exactly (search down from the sqrt).
     per_chain_bytes = n0 * p * 4
-    w_cap = max(chunk, int((2**30) // per_chain_bytes) // chunk * chunk)
-    W = min(max(chunk, int(n_chunks**0.5) * chunk), w_cap, c0)
+    cap_chunks = max(1, int((2**30) // per_chain_bytes) // chunk)
+    m_target = max(1, min(int(n_chunks**0.5), cap_chunks))
+    M = next(d for d in range(m_target, 0, -1) if n_chunks % d == 0)
+    W = M * chunk
 
-    # Host-side accumulation: per-chunk outputs are tiny ([cc,p] + [n,p]);
-    # fetching them to numpy each iteration (a) throttles dispatch so only
-    # ~one L1 block + one chunk's temps are ever live on device, and
-    # (b) avoids a many-operand on-device concatenate at finalize.
-    means_np, sq_np, acov_np = [], [], None
-
-    def eat(m_c, sq_c, a_c):
-        nonlocal acov_np
-        means_np.append(np.asarray(m_c))
-        sq_np.append(np.asarray(sq_c))
-        a = np.asarray(a_c)
-        acov_np = a if acov_np is None else acov_np + a
-
-    for lo in range(0, c0, W):
-        w = min(W, c0 - lo)
-        blk1 = _l1_block(sample, lo, w, steps_major)
-        for k in range(0, w - chunk + 1, chunk):
-            eat(*_chunk_suffstats(blk1, k, chunk, split=split))
-        rem = w % chunk
-        if rem:
-            eat(*_chunk_suffstats(blk1, w - rem, rem, split=split))
-        del blk1  # np.asarray above already synced its consumers
-    return _combine_suffstats(
-        jnp.asarray(np.concatenate(means_np, axis=0)),
-        jnp.asarray(np.concatenate(sq_np, axis=0)),
-        jnp.asarray(acov_np),
+    ms, sqs, acs = _suffstats_all(
+        sample, W, chunk, split=split, steps_major=steps_major
     )
+    return _combine_suffstats(ms, sqs, acs)
 
 
 def split_rhat_mean_ess(sample, steps_major: bool = False):

@@ -40,10 +40,11 @@ class _StepFn:
 
 class _LatestStats:
     """Renderer-facing view of the last streamed (max_rhat, p_accept,
-    per-chain p_accept) tick."""
+    rotating per-chain p_accept window) tick."""
 
     p_accept = float("nan")
     p_accept_chain = None
+    p_accept_chain_start = 0
     _max_rhat = float("nan")
 
     def max_rhat(self) -> float:
@@ -156,8 +157,12 @@ class BatchSampler:
         self._steps_done = offset + n_collect
         return jnp.swapaxes(out.samples, 0, 1)
 
+    # Above this many staged bytes (total steps × chains × dim × 4), the
+    # chunked mode's host round trips dominate and auto mode picks "stream".
+    _AUTO_STREAM_BYTES = 64 * 1024 * 1024
+
     def run_progress(self, n_collect: int, n_discard: int = 0, progress: bool = True,
-                     mode: str = "chunked"):
+                     mode: str = "auto"):
         """Like :meth:`run` but with live progress + streaming R-hat
         (ChainRunner::run_progress, core.rs:251-403).  Returns
         ``(samples, RunStats)``.
@@ -167,12 +172,17 @@ class BatchSampler:
         run once and emits only (steps, max-R-hat, p-accept) scalars from
         inside the scan via ``io_callback`` — samples never stage through
         host memory, so it is the right mode for large runs or exotic run
-        lengths where per-chunk recompiles hurt.
+        lengths where per-chunk recompiles hurt.  The default ``"auto"``
+        picks "stream" once the run would stage more than ~64 MiB of states
+        through the host, else "chunked".
         """
         self._prepare_run(n_collect, n_discard)
         carry = self._init_carry()
         dim = self._step_fn.extract(carry).shape[-1]
         total = n_discard + n_collect
+        if mode == "auto":
+            staged = total * self.n_chains * dim * 4
+            mode = "stream" if staged > self._AUTO_STREAM_BYTES else "chunked"
         renderer = (
             ProgressRenderer(self.n_chains, total) if progress else None
         )
@@ -180,9 +190,10 @@ class BatchSampler:
         if mode == "stream":
             stats = _LatestStats()
 
-            def hook(done, max_rhat, p_accept, p_chain_head):
+            def hook(done, max_rhat, p_accept, window_start, p_chain_window):
                 stats.p_accept = float(p_accept)
-                stats.p_accept_chain = p_chain_head
+                stats.p_accept_chain = p_chain_window
+                stats.p_accept_chain_start = int(window_start)
                 stats._max_rhat = float(max_rhat)
                 if renderer is not None:
                     renderer.update(int(done), stats)

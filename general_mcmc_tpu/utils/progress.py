@@ -40,6 +40,7 @@ class ProgressRenderer:
         self.stream = stream if stream is not None else sys.stderr
         self._last_draw = 0.0
         self._lines = 0
+        self._local_rotation = 0
 
     def update(self, done: int, tracker=None):
         now = time.monotonic()
@@ -48,6 +49,7 @@ class ProgressRenderer:
         self._last_draw = now
         msg = ""
         p_chain = None
+        start = 0
         if tracker is not None:
             try:
                 p_acc = tracker.p_accept
@@ -58,12 +60,27 @@ class ProgressRenderer:
             # per-chain acceptance for the chain bars (core.rs:288-306);
             # entries < 0 mean "no step observed yet" and display blank
             p_chain = getattr(tracker, "p_accept_chain", None)
+            # Chain-bar rotation (core.rs:288-296, 344-360): a tracker may
+            # supply the window's start index (stream mode rotates on
+            # device); otherwise rotate locally, one chain per redraw.
+            start = getattr(tracker, "p_accept_chain_start", None)
+            if start is None:
+                start = self._local_rotation
+                if self.n_chains > self.n_bars:
+                    self._local_rotation = (start + 1) % self.n_chains
+            else:
+                start = int(start)
         lines = [_bar("Global", done * self.n_chains, self.total * self.n_chains, msg)]
         for i in range(self.n_bars):
+            idx = (start + i) % self.n_chains
             cmsg = ""
-            if p_chain is not None and i < len(p_chain) and float(p_chain[i]) >= 0.0:
-                cmsg = f"p(accept)≈{float(p_chain[i]):.2f}"
-            lines.append(_bar(f"Chain {i}", done, self.total, cmsg))
+            if p_chain is not None and i < len(p_chain):
+                # full per-chain array → index by chain id; pre-rotated
+                # window (stream mode) → positional
+                j = idx if len(p_chain) == self.n_chains else i
+                if float(p_chain[j]) >= 0.0:
+                    cmsg = f"p(accept)≈{float(p_chain[j]):.2f}"
+            lines.append(_bar(f"Chain {idx}", done, self.total, cmsg))
         self._draw(lines)
 
     def _draw(self, lines):

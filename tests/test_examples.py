@@ -102,7 +102,45 @@ def test_regression_nc_track():
     assert stats.rhat.max < 1.2  # R-hat computed on the transformed scale
 
 
-def test_sharded_nuts_example():
+def test_custom_gradient_nuts():
+    """User-supplied analytic gradients (distributions.rs:83-90's override
+    story via jax.custom_vjp): the hand-coded rule feeds the sampler and the
+    posterior is still correct."""
+    import custom_gradient_nuts
+    import numpy as np
+
+    sample, stats = custom_gradient_nuts.main(
+        n_chains=32, n_collect=300, n_warmup=150
+    )
+    flat = np.asarray(sample).reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(axis=0), [1.0, -2.0, 3.0], atol=0.25)
+    np.testing.assert_allclose(
+        flat.var(axis=0), [0.5, 2.0, 4.0], rtol=0.35
+    )
+    assert stats.rhat.max < 1.05
+
+
+def test_custom_vjp_rule_actually_used():
+    """A custom vjp whose backward pass is deliberately WRONG must change the
+    gradients the samplers compute — proving value_and_grad routes through
+    the user rule, not silent autodiff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.custom_vjp
+    def logp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    def fwd(x):
+        return -0.5 * jnp.sum(x * x), x
+
+    def bwd(res, ct):
+        return (ct * (-3.0 * res),)  # wrong on purpose: 3x the true gradient
+
+    logp.defvjp(fwd, bwd)
+    g = jax.grad(logp)(jnp.array([1.0, 2.0]))
+    np.testing.assert_allclose(np.asarray(g), [-3.0, -6.0], rtol=1e-6)
     import sharded_nuts
 
     sample = sharded_nuts.main(n_chains=64, dim=8, n_collect=30, n_warmup=80)

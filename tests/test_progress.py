@@ -99,8 +99,8 @@ def test_stream_mode_hook_cadence_and_values(capsys):
     ticks = []
     out = run_kernel_progress_stream(
         mh._step_fn, mh._init_carry(), 100, 60,
-        lambda done, rhat, pacc, pchain: ticks.append(
-            (int(done), float(rhat), float(pacc), pchain)
+        lambda done, rhat, pacc, start, pchain: ticks.append(
+            (int(done), float(rhat), float(pacc), int(start), pchain)
         ),
         stride=64,
     )
@@ -155,8 +155,8 @@ def test_stream_mode_p_accept_matches_chunked():
     ticks = []
     out = run_kernel_progress_stream(
         mh._step_fn, mh._init_carry(), 64, 0,
-        lambda done, rhat, pacc, pchain: ticks.append(
-            (int(done), float(pacc), pchain)
+        lambda done, rhat, pacc, start, pchain: ticks.append(
+            (int(done), float(pacc), (int(start), pchain))
         ),
         stride=64,
     )
@@ -165,12 +165,15 @@ def test_stream_mode_p_accept_matches_chunked():
     assert ticks[0][0] == 64
     assert abs(ticks[0][1] - tracker.p_accept) < 1e-5
     assert 0.0 <= ticks[0][1] <= 1.0
-    # per-chain head matches the chunked tracker's per-chain EWMA too
+    # the rotating per-chain window matches the chunked tracker's per-chain
+    # EWMA at the window's start offset (core.rs:288-296 rotation semantics)
     import numpy as np
 
+    start, window = ticks[0][2]
+    idx = (start + np.arange(len(window))) % 4
     np.testing.assert_allclose(
-        np.asarray(ticks[0][2]),
-        np.asarray(tracker.p_accept_chain[:4]),
+        np.asarray(window),
+        np.asarray(tracker.p_accept_chain)[idx],
         atol=1e-5,
     )
 
@@ -189,3 +192,47 @@ def test_steps_done_after_run_progress(tmp_path):
         ref = np.asarray(_mh().seed(8).run(45, 10))
         rest = np.asarray(_mh().seed(8).resume(p, 15))
         np.testing.assert_array_equal(rest, ref[:, 30:])
+
+
+def test_chain_bar_rotation_cycles_all_chains(capsys):
+    """With more chains than bars, successive redraws rotate which chains
+    own the ≤5 live bars (core.rs:288-296, 344-360)."""
+    import io
+
+    from general_mcmc_tpu.utils.progress import ProgressRenderer
+
+    buf = io.StringIO()
+    r = ProgressRenderer(8, 100, min_interval=0.0, stream=buf)
+
+    class T:
+        p_accept = 0.5
+        p_accept_chain = [0.5] * 8
+
+        def max_rhat(self):
+            return 1.0
+
+    for step in range(8):
+        r.update(step + 1, T())
+    out = buf.getvalue()
+    for i in range(8):
+        assert f"Chain {i}" in out  # every chain appeared in some redraw
+
+
+def test_auto_mode_selects_by_staged_bytes():
+    """mode="auto" (the default) picks stream for large runs and chunked for
+    small ones — VERDICT round-2 #9's 'stream by default for large runs'."""
+    import numpy as np
+
+    mh = _mh().seed(3)
+    # tiny run → chunked path (observable: identical results either way,
+    # so assert on the documented selector directly)
+    staged_small = (30 + 10) * 4 * 2 * 4
+    assert staged_small <= mh._AUTO_STREAM_BYTES
+    s_small, _ = mh.run_progress(30, 10, progress=False)  # auto → chunked
+    assert s_small.shape == (4, 30, 2)
+
+    # force the threshold down so auto picks stream, and check equality
+    mh2 = _mh().seed(3)
+    mh2._AUTO_STREAM_BYTES = 0
+    s_stream, _ = mh2.run_progress(30, 10, progress=False)  # auto → stream
+    np.testing.assert_array_equal(np.asarray(s_stream), np.asarray(s_small))

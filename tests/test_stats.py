@@ -288,27 +288,25 @@ def test_diagnostics_memory_bounded_at_bench_shape():
     assert want < c0  # the bench shape must engage chunking
     chunk = S._pick_chain_chunk(c0, want)
 
-    # L1 takes the FULL sample as an argument and must emit only a bounded
-    # block (arguments alias the existing buffer; a full-size relayout like
-    # round 2's pad temp would show up as ~12 GiB of temp/output here).
-    n_chunks = -(-c0 // chunk)
+    # The one-program nested-map sufficient-statistics kernel takes the FULL
+    # sample as an argument (aliasing the existing buffer) and must keep
+    # temps + outputs bounded — a full-size relayout like round 2's pad temp
+    # would show up as ~12 GiB of temp right here.  (On the real TPU backend
+    # the same lowering measured temp ≈ 1.7 GiB, probed round 3.)
+    n_chunks = c0 // chunk
     per_chain_bytes = n0 * p * 4
-    w_cap = max(chunk, int(2**30 // per_chain_bytes) // chunk * chunk)
-    W = min(max(chunk, int(n_chunks**0.5) * chunk), w_cap, c0)
+    cap_chunks = max(1, int(2**30 // per_chain_bytes) // chunk)
+    m_target = max(1, min(int(n_chunks**0.5), cap_chunks))
+    M = next(d for d in range(m_target, 0, -1) if n_chunks % d == 0)
+    W = M * chunk
     full = jax.ShapeDtypeStruct((n0, c0, p), jnp.float32)
-    ma1 = (
-        S._l1_block.lower(full, 0, W, steps_major=True).compile().memory_analysis()
+    ma = (
+        S._suffstats_all.lower(full, W, chunk, split=True, steps_major=True)
+        .compile()
+        .memory_analysis()
     )
-    extra1 = ma1.temp_size_in_bytes + ma1.output_size_in_bytes
-    assert extra1 < 2.5 * 2**30, f"L1 block temps {extra1 / 2**30:.2f} GiB"
-
-    # L2 slices the L1 block with a traced major-axis offset; its whole
-    # footprint (args = one L1 block + temps + outputs) must stay bounded.
-    blk1 = jax.ShapeDtypeStruct((W, n0, p), jnp.float32)
-    k = jax.ShapeDtypeStruct((), jnp.int32)
-    ma = S._chunk_suffstats.lower(blk1, k, chunk, split=True).compile().memory_analysis()
-    extra = ma.temp_size_in_bytes + ma.output_size_in_bytes + ma.argument_size_in_bytes
-    assert extra < 3.5 * 2**30, f"chunk program footprint {extra / 2**30:.2f} GiB"
+    extra = ma.temp_size_in_bytes + ma.output_size_in_bytes
+    assert extra < 2.5 * 2**30, f"suffstats program temps {extra / 2**30:.2f} GiB"
 
     means = jax.ShapeDtypeStruct((c, p), jnp.float32)
     sq = jax.ShapeDtypeStruct((c, p), jnp.float32)
