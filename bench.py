@@ -103,8 +103,8 @@ def _load_baseline():
         with open(path) as f:
             rec = json.load(f)
         return float(rec["min_ess_per_sec"]), (
-            f"measured CPU surrogate ({rec.get('n_workers', '?')} procs, "
-            f"{rec.get('note', 'docs/CPU_BASELINE.json')})"
+            f"measured CPU surrogate {rec['min_ess_per_sec']:,.0f} ESS/s "
+            f"(x{rec.get('n_workers', '?')} threads; docs/CPU_BASELINE.json)"
         )
     except (OSError, KeyError, ValueError):
         return _EST_REF_MIN_ESS_PER_SEC, "estimate (unmeasured; BASELINE.md)"
@@ -233,11 +233,35 @@ def _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, n_collect, note=""):
     _EMITTED = True
 
 
-def _measure_and_emit(sampler, sample, wall, n_collect, note=""):
+def _diagnostics_with_retry(sample, tries=3):
+    """split_rhat_mean_ess with retries: the remote tunnel's compile helper
+    (a server-side subprocess shared across compiles) sometimes crashes with
+    `HTTP 500: tpu_compile_helper subprocess exit code 1` when the
+    diagnostics program compiles right after the big NUTS program — round-3
+    rehearsals showed the SAME program compiling cleanly from a fresh
+    helper.  A retry re-requests the compile from a respawned helper; the
+    sample stays resident, so retries cost only the compile wall."""
     from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
 
+    for attempt in range(tries):
+        try:
+            rhat, ess = split_rhat_mean_ess(sample, steps_major=True)
+            jax.block_until_ready((rhat, ess))
+            return rhat, ess
+        except (jax.errors.JaxRuntimeError, RuntimeError) as e:
+            if attempt == tries - 1 or _left() < 180:
+                raise
+            print(
+                f"diagnostics compile/exec failed (attempt {attempt + 1}), "
+                f"retrying: {str(e)[:500]}",
+                file=sys.stderr,
+            )
+            time.sleep(20)
+
+
+def _measure_and_emit(sampler, sample, wall, n_collect, note=""):
     leapfrogs = int(jnp.sum(sampler.leapfrog_count))
-    rhat, ess = split_rhat_mean_ess(sample, steps_major=True)
+    rhat, ess = _diagnostics_with_retry(sample)
     rhat_max = float(jnp.max(rhat))
     min_ess = float(jnp.min(ess))
     if WORKLOAD == "gauss":

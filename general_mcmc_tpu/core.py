@@ -29,6 +29,7 @@ __all__ = [
     "init",
     "init_det",
     "init_with_seed",
+    "advance_kernel",
     "run_kernel",
     "run_kernel_progress",
     "run_kernel_progress_stream",
@@ -115,6 +116,26 @@ def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
     carry, samples = _run_compiled(
         step_fn, carry, n_collect, n_discard, step_offset, thin
     )
+    return KernelRun(carry, samples)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _advance_compiled(step_fn, carry, n: int, offset):
+    def body(c, i):
+        c = step_fn(c, offset + i)
+        return c, step_fn.extract(c)
+
+    return jax.lax.scan(body, carry, jnp.arange(n))
+
+
+def advance_kernel(step_fn, carry, n: int, step_offset) -> KernelRun:
+    """Advance ``n`` transitions from absolute step index ``step_offset``,
+    collecting every post-step state.  Unlike :func:`run_kernel`, the offset
+    is TRACED — repeated incremental calls (the per-step chain API,
+    nuts.rs:311-438) reuse one compiled program per block length instead of
+    recompiling at every new offset."""
+    carry, samples = _advance_compiled(step_fn, carry, n,
+                                       jnp.asarray(step_offset, jnp.int32))
     return KernelRun(carry, samples)
 
 

@@ -19,12 +19,63 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 
-from ..core import run_kernel, run_kernel_progress, run_kernel_progress_stream
+from ..core import (
+    advance_kernel,
+    run_kernel,
+    run_kernel_progress,
+    run_kernel_progress_stream,
+)
 from ..diagnostics.stats import MultiChainTracker, RunStats
 from ..rng import as_key, chain_keys
 from ..utils.progress import ProgressRenderer
 
-__all__ = ["BatchSampler"]
+__all__ = ["BatchSampler", "BatchChain"]
+
+
+class BatchChain:
+    """Incremental per-step chain driving — the public analog of the
+    reference's ``NUTSChain`` (nuts.rs:311-438): create via
+    :meth:`BatchSampler.chain`, call :meth:`step` repeatedly, inspect
+    :meth:`current_state` between calls.
+
+    The batch semantics are TPU-native: one ``step(n)`` advances ALL chains
+    ``n`` transitions in a single compiled scan (the whole-run scan is still
+    the efficient path for fixed-length runs; this API exists for
+    interactive exploration, custom stopping rules, and external control
+    loops).  Step indices are absolute and continue across calls, so the
+    per-step RNG stream — and any warmup schedule the sampler prepared for
+    the first ``n_warmup`` steps — is identical to a single fused run of
+    the same total length.
+    """
+
+    def __init__(self, sampler: "BatchSampler", carry):
+        self._sampler = sampler
+        self._step_fn = sampler._step_fn
+        self._carry = carry
+        self._m = 0
+
+    @property
+    def steps_done(self) -> int:
+        return self._m
+
+    def current_state(self):
+        """Tracked state snapshot ``[n_chains, k]`` (positions, or the
+        :meth:`BatchSampler.track` transform) — MarkovChain::current_state
+        (core.rs:79-85)."""
+        return self._step_fn.extract(self._carry)
+
+    def step(self, n: int = 1):
+        """Advance all chains ``n`` transitions; returns the
+        ``[n_chains, n, k]`` block of post-step tracked states.  The
+        compiled program is reused across calls with the same ``n`` (the
+        step offset is traced, not baked in)."""
+        out = advance_kernel(self._step_fn, self._carry, n, self._m)
+        self._carry = out.carry
+        self._m += n
+        # keep the owning sampler checkpointable at this chain's frontier
+        self._sampler._final_carry = out.carry
+        self._sampler._steps_done = self._m
+        return jnp.swapaxes(out.samples, 0, 1)
 
 
 class _StepFn:
@@ -112,6 +163,16 @@ class BatchSampler:
     @property
     def _chain_keys(self):
         return chain_keys(self._key, self.n_chains)
+
+    # -- incremental driving ------------------------------------------------
+    def chain(self, n_warmup: int = 0) -> "BatchChain":
+        """Open an incremental per-step view of this sampler
+        (:class:`BatchChain`; NUTSChain, nuts.rs:311-438).  Adaptive
+        samplers prepare their warmup schedule for the first ``n_warmup``
+        steps — ``chain(K)`` then ``step(K); step(N)`` visits exactly the
+        states of ``run(N, K)``."""
+        self._prepare_run(0, n_warmup)
+        return BatchChain(self, self._init_carry())
 
     # -- running ------------------------------------------------------------
     def run(self, n_collect: int, n_discard: int = 0, thin: int = 1):

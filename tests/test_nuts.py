@@ -299,3 +299,50 @@ def test_nuts_thinning_with_adaptation_equals_strided():
     full = np.asarray(make().run(30, 60))
     thin = np.asarray(make().run(10, 60, thin=3))
     np.testing.assert_array_equal(thin, full[:, 2::3])
+
+
+def test_incremental_chain_api_matches_fused_run():
+    """chain(K) + step(K) + step(N) visits exactly the states of run(N, K)
+    (NUTSChain per-step driving, nuts.rs:311-438), and current_state tracks
+    the frontier."""
+    from general_mcmc_tpu import NUTSMassMatrixConfig
+
+    def mk():
+        return NUTS(
+            _gauss_target(), init_det(4, 2), 0.8,
+            mass_config=NUTSMassMatrixConfig(
+                adaptation="diagonal", start_buffer=4, end_buffer=3,
+                initial_window=2,
+            ),
+        ).set_seed(11)
+
+    K, N = 16, 24
+    ref = np.asarray(mk().run(N, K))  # [4, N, 2]
+
+    c = mk().chain(n_warmup=K)
+    warm = c.step(K)
+    assert warm.shape == (4, K, 2) and c.steps_done == K
+    got = np.asarray(c.step(N))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(c.current_state()), ref[:, -1], rtol=1e-6, atol=1e-8
+    )
+
+    # sub-block stepping reuses the same trajectory too (absolute indices)
+    c2 = mk().chain(n_warmup=K)
+    c2.step(K)
+    parts = [np.asarray(c2.step(8)) for _ in range(3)]
+    np.testing.assert_allclose(np.concatenate(parts, axis=1), ref, rtol=1e-6, atol=1e-8)
+
+
+def test_incremental_chain_checkpoint_resume(tmp_path):
+    """A chain-driven sampler stays checkpointable at the stepped frontier."""
+    s = NUTS(_gauss_target(), init_det(3, 2), 0.8).set_seed(5)
+    c = s.chain()
+    c.step(20)
+    p = str(tmp_path / "chain.npz")
+    s.save_checkpoint(p)
+
+    ref = np.asarray(NUTS(_gauss_target(), init_det(3, 2), 0.8).set_seed(5).run(35))
+    rest = np.asarray(NUTS(_gauss_target(), init_det(3, 2), 0.8).set_seed(5).resume(p, 15))
+    np.testing.assert_allclose(rest, ref[:, 20:], rtol=1e-6, atol=1e-8)
