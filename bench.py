@@ -245,9 +245,9 @@ def _diagnostics_with_retry(sample, tries=3):
 
     for attempt in range(tries):
         try:
-            rhat, ess = split_rhat_mean_ess(sample, steps_major=True)
-            jax.block_until_ready((rhat, ess))
-            return rhat, ess
+            out = split_rhat_mean_ess(sample, steps_major=True, return_moments=True)
+            jax.block_until_ready(out)
+            return out
         except (jax.errors.JaxRuntimeError, RuntimeError) as e:
             if attempt == tries - 1 or _left() < 180:
                 raise
@@ -261,16 +261,18 @@ def _diagnostics_with_retry(sample, tries=3):
 
 def _measure_and_emit(sampler, sample, wall, n_collect, note=""):
     leapfrogs = int(jnp.sum(sampler.leapfrog_count))
-    rhat, ess = _diagnostics_with_retry(sample)
+    rhat, ess, _mean, std = _diagnostics_with_retry(sample)
     rhat_max = float(jnp.max(rhat))
     min_ess = float(jnp.min(ess))
     if WORKLOAD == "gauss":
         # Moment audit: R-hat only certifies that chains agree with each
         # other; also check they agree with the analytic target (per-dim
         # std spans 1..10).  Catches a globally-wrong stationary
-        # distribution that convergence diagnostics cannot see.
+        # distribution that convergence diagnostics cannot see.  The pooled
+        # std comes from the diagnostics' own sufficient statistics —
+        # reducing the raw sample here compiled a 12 GiB param-major
+        # relayout temp (the round-2/3 OOM signature, stage-probed).
         scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM))
-        std = jnp.std(sample.reshape(-1, DIM), axis=0)
         max_rel = float(jnp.max(jnp.abs(std / scales - 1.0)))
         print(f"moment audit: max |std/scale - 1| = {max_rel:.4f}", file=sys.stderr)
         if max_rel > 0.05:

@@ -432,8 +432,13 @@ def _suffstats_all(sample: jax.Array, W: int, chunk: int, split: bool,
 
 @jax.jit
 def _combine_suffstats(chain_means, sq, acov_sum):
-    """Combine per-chain sufficient statistics into (rhat, ess), reproducing
-    _withinvar + _ess exactly (stats.rs:439-450, 523-573)."""
+    """Combine per-chain sufficient statistics into (rhat, ess, pooled mean,
+    pooled std), reproducing _withinvar + _ess exactly (stats.rs:439-450,
+    523-573).  The pooled moments come free from the same statistics — the
+    law of total variance over equal-length chains — so callers auditing
+    sample moments need NO extra pass over the raw sample (a fresh
+    full-sample reduce at the bench shape compiles a 12 GiB param-major
+    relayout temp on TPU — the round-2/3 OOM signature)."""
     c, _ = chain_means.shape
     n = acov_sum.shape[0]
     overall = jnp.mean(chain_means, axis=0)
@@ -444,24 +449,28 @@ def _combine_suffstats(chain_means, sq, acov_sum):
     avg_rho = acov_sum / c
     rho = 1.0 - (w - avg_rho) / v
     ess = (c * n) / _geyer_tau(rho)
-    return rhat, ess
+    # pooled biased variance = within + between (equal-length chains)
+    pooled_var = w + jnp.mean((chain_means - overall) ** 2, axis=0)
+    return rhat, ess, overall, jnp.sqrt(pooled_var)
 
 
 def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
-                         steps_major: bool = False):
-    """Memory-bounded split-R-hat + ESS: chunked over the CHAINS axis with
-    host-side static slices.
+                         steps_major: bool = False,
+                         return_moments: bool = False):
+    """Memory-bounded split-R-hat + ESS (+ optionally pooled moments),
+    chunked over the CHAINS axis.
 
     The round-2 driver bench OOMed because the previous implementation
-    chunked the *parameter* axis with ``dynamic_slice`` — on TPU the
-    parameter axis is the minor (lane) axis, and slicing it forced XLA to
-    repack the whole >10 GB sample param-major (a full-size padded relayout
-    temp).  Chains are the sublane/batch axis: static chain slices lower to
-    clean tiled copies, each chunk's FFT working set is bounded by
-    ``_ESS_CHUNK_BYTES``, and per-chain statistics combine exactly across
-    chunks (autocovariance, within-chain variance, and chain means are all
-    per-chain quantities).  Peak extra memory = one chunk, verified by the
-    compiled-memory test in tests/test_stats.py.
+    chunked the *parameter* axis — on TPU the parameter axis is the minor
+    (lane) axis, and slicing it forced XLA to repack the whole >10 GB
+    sample param-major (a full-size padded relayout temp).  Chains are the
+    sublane/batch axis: per-chain statistics combine exactly across chunks
+    (autocovariance, within-chain variance, and chain means are all
+    per-chain quantities), and :func:`_suffstats_all` computes every
+    chunk's statistics in ONE nested-map program with ~1.7 GB of temps at
+    the bench shape (design rationale in its docstring).  Verified by the
+    compiled-memory test in tests/test_stats.py and by round-3 hardware
+    runs at [3072, 10240, 100].
     """
     if steps_major:
         n0, c0, p = sample.shape
@@ -482,7 +491,11 @@ def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
         if split:
             blk = _splitcat(blk)
         within, var = _withinvar(blk)
-        return jnp.sqrt(var / within), _ess(blk, within, var)
+        rhat, ess = jnp.sqrt(var / within), _ess(blk, within, var)
+        if not return_moments:
+            return rhat, ess
+        flat = blk.reshape(-1, blk.shape[-1])
+        return rhat, ess, jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
 
     chunk = _pick_chain_chunk(c0, want)
     if c0 % chunk:
@@ -502,18 +515,31 @@ def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
     ms, sqs, acs = _suffstats_all(
         sample, W, chunk, split=split, steps_major=steps_major
     )
-    return _combine_suffstats(ms, sqs, acs)
+    rhat, ess, mean, std = _combine_suffstats(ms, sqs, acs)
+    if not return_moments:
+        return rhat, ess
+    return rhat, ess, mean, std
 
 
-def split_rhat_mean_ess(sample, steps_major: bool = False):
+def split_rhat_mean_ess(sample, steps_major: bool = False,
+                        return_moments: bool = False):
     """Split-R-hat and ESS per parameter, Stan methodology
     (stats.rs:439-450).  ``sample`` is (chains, observations, parameters) —
     or the scan-native (observations, chains, parameters) with
     ``steps_major=True`` — each chain is split in half and both metrics are
     computed over the 2c half-chains, entirely on device.
+
+    ``return_moments=True`` additionally returns the pooled per-parameter
+    (mean, biased std) of the draws (split-sample pooled: for odd-length
+    chains the dropped middle draw is excluded), derived from the SAME
+    per-chain sufficient statistics — callers auditing sample moments against an
+    analytic target must use this instead of reducing the raw sample
+    themselves (a fresh full-sample reduce compiles a full param-major
+    relayout temp at >10 GB shapes on TPU).
     """
     return _split_rhat_ess_impl(
-        jnp.asarray(sample), split=True, steps_major=steps_major
+        jnp.asarray(sample), split=True, steps_major=steps_major,
+        return_moments=return_moments,
     )
 
 

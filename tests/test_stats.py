@@ -313,3 +313,27 @@ def test_diagnostics_memory_bounded_at_bench_shape():
     acov = jax.ShapeDtypeStruct((n, p), jnp.float32)
     ma2 = jax.jit(S._combine_suffstats).lower(means, sq, acov).compile().memory_analysis()
     assert ma2.temp_size_in_bytes + ma2.output_size_in_bytes < 64 * 2**20
+
+
+def test_return_moments_matches_numpy(monkeypatch):
+    """Pooled (mean, std) from the sufficient statistics must equal a direct
+    numpy reduce over the draws — in both the single-shot and chunked paths
+    (the bench's moment audit depends on this; a raw full-sample reduce
+    compiles a full relayout temp on TPU, so the bench cannot do it)."""
+    from general_mcmc_tpu.diagnostics import stats as S
+
+    key = jax.random.key(21)
+    x = jax.random.normal(key, (8, 200, 3), jnp.float32) * jnp.array([1.0, 2.0, 0.5])
+    flat = np.asarray(x).reshape(-1, 3)
+
+    r, e, m, sd = split_rhat_mean_ess(x, return_moments=True)
+    np.testing.assert_allclose(np.asarray(m), flat.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sd), flat.std(axis=0), rtol=1e-5)
+
+    monkeypatch.setattr(S, "_ESS_CHUNK_BYTES", 2 * 512 * 3 * 8 * 4)
+    r2, e2, m2, sd2 = split_rhat_mean_ess(
+        jnp.swapaxes(x, 0, 1), steps_major=True, return_moments=True
+    )
+    np.testing.assert_allclose(np.asarray(m2), flat.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sd2), flat.std(axis=0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r), rtol=1e-5)
