@@ -154,8 +154,30 @@ def nuts_steady():
     return rate
 
 
+def nuts_batch_sweep():
+    """Total grad-evals/s vs chain-batch size: if the while-carry became
+    VMEM-resident at small batches, per-chain throughput would jump and
+    chunking the 10k chains into sequential small blocks would raise
+    min-ESS/s (which is otherwise chain-count-invariant)."""
+    global N_CHAINS
+    saved = N_CHAINS
+    out = {}
+    for n in (512, 2048, 10_240):
+        N_CHAINS = n
+        out[n] = nuts_steady()
+    N_CHAINS = saved
+    for n, r in out.items():
+        print(json.dumps({"metric": f"nuts-steady grad-evals/s @ {n} chains",
+                          "value": r, "unit": "1/s",
+                          "vs_baseline": r / n}), flush=True)
+    return out
+
+
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    if os.environ.get("GMT_RL_SWEEP") == "1":
+        nuts_batch_sweep()
+        return
     ceil = leapfrog_ceiling()
     nuts = nuts_steady()
     frac = nuts / ceil
