@@ -388,7 +388,10 @@ if __name__ == "__main__":
             break
         except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
             msg = f"{type(e).__name__}: {e}"
-            failure = ("oom" if _is_oom(msg) else "transient", msg)
+            # MemoryError (host OOM) steps down the ladder too: a same-size
+            # retry would just OOM again and burn the transient budget.
+            oom = _is_oom(msg) or isinstance(e, MemoryError)
+            failure = ("oom" if oom else "transient", msg)
             del e  # drop the traceback reference before freeing buffers
         # Handled outside the except block so the dead attempt's frames are
         # collectable before the next attempt allocates.

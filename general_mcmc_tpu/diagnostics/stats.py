@@ -385,9 +385,10 @@ def _chunk_suffstats_of(blk: jax.Array, split: bool, steps_major: bool):
     return chain_means, sq, acov_sum
 
 
-@functools.partial(jax.jit, static_argnames=("W", "chunk", "split", "steps_major"))
-def _suffstats_all(sample: jax.Array, W: int, chunk: int, split: bool,
-                   steps_major: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("W", "chunk", "main", "split", "steps_major"))
+def _suffstats_all(sample: jax.Array, W: int, chunk: int, main: int,
+                   split: bool, steps_major: bool):
     """ALL chunks' sufficient statistics in ONE compiled program: an outer
     ``lax.map`` over blocks of ``W`` chains (traced-offset chains slice +
     steps→chains rotation), an inner ``lax.map`` over ``chunk``-chain
@@ -408,11 +409,11 @@ def _suffstats_all(sample: jax.Array, W: int, chunk: int, split: bool,
       shape (verified via compile-only memory_analysis on the TPU backend)
       and runs as ONE dispatch.
 
-    Requires ``chunk | W`` and ``W | c0`` (callers arrange this; remainder
-    configs use the single-shot path or a fallback chunk choice)."""
+    Requires ``chunk | W`` and ``W | main`` where ``main <= c0`` is the
+    covered chain prefix (callers handle the < chunk-sized tail with one
+    extra small program when c0 has no convenient divisor)."""
     p = sample.shape[-1]
     axis = 1 if steps_major else 0
-    c0 = sample.shape[axis]
 
     def outer(g):
         blk1 = jax.lax.dynamic_slice_in_dim(sample, g * W, W, axis=axis)
@@ -426,7 +427,7 @@ def _suffstats_all(sample: jax.Array, W: int, chunk: int, split: bool,
         ms, sqs, acs = jax.lax.map(inner, jnp.arange(W // chunk))
         return ms.reshape(-1, p), sqs.reshape(-1, p), jnp.sum(acs, axis=0)
 
-    ms, sqs, acs = jax.lax.map(outer, jnp.arange(c0 // W))
+    ms, sqs, acs = jax.lax.map(outer, jnp.arange(main // W))
     return ms.reshape(-1, p), sqs.reshape(-1, p), jnp.sum(acs, axis=0)
 
 
@@ -454,6 +455,54 @@ def _combine_suffstats(chain_means, sq, acov_sum):
     return rhat, ess, overall, jnp.sqrt(pooled_var)
 
 
+def _plan_chunks(n0: int, c0: int, p: int, split: bool):
+    """Chunk plan for the chains-chunked sufficient-statistics pass.
+
+    Returns ``None`` when the whole sample fits one fused program, else
+    ``(chunk, W, main)`` with ``chunk | W``, ``W | main``, ``main <= c0``:
+    the nested-map program covers the first ``main`` chains; the
+    ``c0 - main < chunk`` tail (only for chain counts without a convenient
+    divisor) gets one extra small program.  Factored out so the
+    compiled-memory test lowers EXACTLY the plan production uses."""
+    c = 2 * c0 if split else c0
+    n = (n0 // 2) if split else n0
+    want = _ess_chain_chunk(c, n, p)
+    if split:
+        want = max(1, want // 2)  # want counts split chains; slices are pre-split
+    if want >= c0:
+        return None
+    chunk = _pick_chain_chunk(c0, want)
+    main = (c0 // chunk) * chunk
+    n_chunks = main // chunk
+    # Outer-block width: ~sqrt(#chunks) chunks per block balances the two
+    # map levels, capped so a rotated block stays ≲ 1 GiB; must divide
+    # n_chunks exactly (search down from the sqrt; M=1 always divides).
+    per_chain_bytes = n0 * p * 4
+    cap_chunks = max(1, int((2**30) // per_chain_bytes) // chunk)
+    m_target = max(1, min(int(n_chunks**0.5), cap_chunks))
+    M = next(d for d in range(m_target, 0, -1) if n_chunks % d == 0)
+    return chunk, M * chunk, main
+
+
+_tail_suffstats = functools.partial(
+    jax.jit, static_argnames=("split", "steps_major")
+)(_chunk_suffstats_of)
+
+
+@functools.partial(jax.jit, static_argnames=("split", "steps_major"))
+def _single_shot_stats(sample: jax.Array, split: bool, steps_major: bool):
+    """One fused program for samples small enough to skip chunking."""
+    blk = sample.astype(jnp.float32)
+    if steps_major:
+        blk = jnp.swapaxes(blk, 0, 1)
+    if split:
+        blk = _splitcat(blk)
+    within, var = _withinvar(blk)
+    rhat, ess = jnp.sqrt(var / within), _ess(blk, within, var)
+    flat = blk.reshape(-1, blk.shape[-1])
+    return rhat, ess, jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
+
+
 def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
                          steps_major: bool = False,
                          return_moments: bool = False):
@@ -477,45 +526,28 @@ def _split_rhat_ess_impl(sample: jax.Array, split: bool = True,
     else:
         c0, n0, p = sample.shape
 
-    c = 2 * c0 if split else c0
-    n = (n0 // 2) if split else n0
-    want = _ess_chain_chunk(c, n, p)
-    if split:
-        want = max(1, want // 2)  # want counts split chains; slices are pre-split
-
-    if want >= c0:
-        # Small enough for one shot: single fused program, no chunk loop.
-        blk = sample.astype(jnp.float32)
-        if steps_major:
-            blk = jnp.swapaxes(blk, 0, 1)
-        if split:
-            blk = _splitcat(blk)
-        within, var = _withinvar(blk)
-        rhat, ess = jnp.sqrt(var / within), _ess(blk, within, var)
-        if not return_moments:
-            return rhat, ess
-        flat = blk.reshape(-1, blk.shape[-1])
-        return rhat, ess, jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
-
-    chunk = _pick_chain_chunk(c0, want)
-    if c0 % chunk:
-        # No convenient divisor (rare, small-c0 configs): shrink chunk to a
-        # divisor even if tiny — correctness over block efficiency.
-        chunk = next(d for d in range(chunk, 0, -1) if c0 % d == 0)
-    n_chunks = c0 // chunk
-    # Outer-block width: ~sqrt(#chunks) chunks per block balances the two
-    # map levels, capped so a rotated block stays ≲ 1 GiB; must divide
-    # n_chunks exactly (search down from the sqrt).
-    per_chain_bytes = n0 * p * 4
-    cap_chunks = max(1, int((2**30) // per_chain_bytes) // chunk)
-    m_target = max(1, min(int(n_chunks**0.5), cap_chunks))
-    M = next(d for d in range(m_target, 0, -1) if n_chunks % d == 0)
-    W = M * chunk
-
-    ms, sqs, acs = _suffstats_all(
-        sample, W, chunk, split=split, steps_major=steps_major
-    )
-    rhat, ess, mean, std = _combine_suffstats(ms, sqs, acs)
+    plan = _plan_chunks(n0, c0, p, split)
+    if plan is None:
+        rhat, ess, mean, std = _single_shot_stats(
+            sample, split=split, steps_major=steps_major
+        )
+    else:
+        chunk, W, main = plan
+        ms, sqs, acs = _suffstats_all(
+            sample, W, chunk, main, split=split, steps_major=steps_major
+        )
+        if main < c0:
+            # < chunk-sized tail for chain counts without a convenient
+            # divisor: one extra small program on a static tail slice.
+            axis = 1 if steps_major else 0
+            tail = jax.lax.slice_in_dim(sample, main, c0, axis=axis)
+            m_t, sq_t, a_t = _tail_suffstats(
+                tail, split=split, steps_major=steps_major
+            )
+            ms = jnp.concatenate([ms, m_t], axis=0)
+            sqs = jnp.concatenate([sqs, sq_t], axis=0)
+            acs = acs + a_t
+        rhat, ess, mean, std = _combine_suffstats(ms, sqs, acs)
     if not return_moments:
         return rhat, ess
     return rhat, ess, mean, std

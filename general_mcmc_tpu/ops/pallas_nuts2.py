@@ -106,14 +106,19 @@ def _trailing_ones_small(x, nbits: int = 12):
 
 _DELTA_MAX = 1000.0
 
-# slot indices into the [13, B, d] state scratch ref
+# slot indices into the [11, B, d] state scratch ref.  The proposal's
+# gradient (and log-density) are NOT stored: they are re-derived from the
+# selected position once per transition at the kernel tail — one extra
+# gradient eval per transition buys one fewer [B, d] select per leaf, one
+# per doubling, and two VMEM slots (the round-3 carry-slimming, mirroring
+# ops/tree.py).
 _POS_E, _MOM_E, _GRAD_E = 0, 1, 2
 _POS_M, _MOM_M, _GRAD_M = 3, 4, 5
 _POS_P, _MOM_P, _GRAD_P = 6, 7, 8
-_PROP, _PROP_G, _SPROP, _SPROP_G = 9, 10, 11, 12
-# rows of the [16, B, 1] per-chain scalar scratch ref
-(_PROP_LP, _SPROP_LP, _V, _N, _NSUB, _ASUB, _NASUB, _AOUT, _NAOUT, _DIV,
- _LF, _S, _ACT, _LOGU, _JOINT0, _DEPTH) = range(16)
+_PROP, _SPROP = 9, 10
+# rows of the [14, B, 1] per-chain scalar scratch ref
+(_V, _N, _NSUB, _ASUB, _NASUB, _AOUT, _NAOUT, _DIV,
+ _LF, _S, _ACT, _LOGU, _JOINT0, _DEPTH) = range(14)
 
 
 def _nuts2_kernel(
@@ -191,8 +196,7 @@ def _nuts2_kernel(
     for slot, val in ((_POS_E, x), (_MOM_E, mom0), (_GRAD_E, g0),
                       (_POS_M, x), (_MOM_M, mom0), (_GRAD_M, g0),
                       (_POS_P, x), (_MOM_P, mom0), (_GRAD_P, g0),
-                      (_PROP, x), (_PROP_G, g0), (_SPROP, x),
-                      (_SPROP_G, g0)):
+                      (_PROP, x), (_SPROP, x)):
         st[slot] = val
     # Scratch VMEM is UNINITIALIZED at kernel start (NaN under the
     # interpreter, garbage on hardware).  The checkpoint stores are now
@@ -206,8 +210,6 @@ def _nuts2_kernel(
         pos_ck[s_] = zero_bd
         vel_ck[s_] = zero_bd
         c1_ck[s_] = fzero
-    sc[_PROP_LP] = lp0
-    sc[_SPROP_LP] = lp0
     sc[_V] = fone
     sc[_N] = fone
     sc[_NSUB] = fzero
@@ -286,8 +288,6 @@ def _nuts2_kernel(
             first = f(i == 0)  # scalar splat
             take = act * orf(first, leaf_valid * f(u_take * n_sub < 1.0))
             st[_SPROP] = seld(take, p1, st[_SPROP])
-            sc[_SPROP_LP] = sel1(take, lp1, sc[_SPROP_LP])
-            st[_SPROP_G] = seld(take, g1, st[_SPROP_G])
 
             # unconditional frontier advance (identity for inactive lanes)
             st[_POS_E] = p1
@@ -340,8 +340,6 @@ def _nuts2_kernel(
         u_swap = _uniform_01((B, 1), salt=j)
         take_outer = at_end * sub_ok * f(u_swap * sc[_N] < sc[_NSUB])
         st[_PROP] = seld(take_outer, st[_SPROP], st[_PROP])
-        sc[_PROP_LP] = sel1(take_outer, sc[_SPROP_LP], sc[_PROP_LP])
-        st[_PROP_G] = seld(take_outer, st[_SPROP_G], st[_PROP_G])
         sc[_N] = sc[_N] + sc[_NSUB]  # NSUB is act-masked already
 
         diff = st[_POS_P] - st[_POS_M]
@@ -361,9 +359,12 @@ def _nuts2_kernel(
 
     jax.lax.while_loop(cond, doubling_body, (jnp.int32(0), jnp.float32(1.0)))
 
+    # Re-derive the selected proposal's (lp, grad) once per transition
+    # (see the slot-map comment); same values as the in-loop leaf eval.
+    lp_f, g_f = vg(st[_PROP])
     out_pos[:] = st[_PROP]
-    out_lp[:] = sc[_PROP_LP]
-    out_grad[:] = st[_PROP_G]
+    out_lp[:] = lp_f
+    out_grad[:] = g_f
     out_alpha[:] = sc[_AOUT]
     out_nalpha[:] = sc[_NAOUT].astype(jnp.int32)
     out_lf[:] = sc[_LF].astype(jnp.int32)
@@ -460,8 +461,8 @@ def pallas_nuts2_step(
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((13, B, d), jnp.float32),  # chain state slots
-            pltpu.VMEM((16, B, 1), jnp.float32),  # per-chain scalars
+            pltpu.VMEM((11, B, d), jnp.float32),  # chain state slots
+            pltpu.VMEM((14, B, 1), jnp.float32),  # per-chain scalars
             pltpu.VMEM((S, B, d), jnp.float32),  # position checkpoints
             pltpu.VMEM((S, B, d), jnp.float32),  # velocity checkpoints
             pltpu.VMEM((S, B, 1), jnp.float32),  # position·velocity ckpts

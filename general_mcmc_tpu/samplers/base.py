@@ -96,6 +96,7 @@ class _LatestStats:
     p_accept = float("nan")
     p_accept_chain = None
     p_accept_chain_start = 0
+    p_chain_is_window = True  # p_accept_chain is a pre-rotated window
     _max_rhat = float("nan")
 
     def max_rhat(self) -> float:
@@ -112,13 +113,17 @@ class BatchSampler:
         self._extract_fn = None
         self._step_fn = self._make_step_fn()
 
-    def _make_step_fn(self) -> _StepFn:
+    def _make_step_fn(self, step: Callable | None = None) -> _StepFn:
         """Build the runner-facing step wrapper, composing the optional
-        Trace hook (:meth:`track`) over ``_positions``."""
+        Trace hook (:meth:`track`) over ``_positions``.  ``step`` lets a
+        sampler bind run-derived state (e.g. NUTS warmup schedules) into
+        the wrapper so lazily-traced step fns never read mutable sampler
+        attributes."""
+        step = step if step is not None else self._step
         fn = self._extract_fn
         if fn is None:
-            return _StepFn(self._step, self._positions)
-        return _StepFn(self._step, lambda carry: fn(self._positions(carry)))
+            return _StepFn(step, self._positions)
+        return _StepFn(step, lambda carry: fn(self._positions(carry)))
 
     def track(self, extract_fn: Callable | None):
         """Set the Trace extension point (core.rs:34-72): a pure jittable map

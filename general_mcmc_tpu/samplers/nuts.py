@@ -66,6 +66,19 @@ from ..ops.tree import (
 from ..rng import step_key
 from .base import BatchSampler, _StepFn
 
+
+class _Sched(NamedTuple):
+    """Run-length-derived schedule snapshot BOUND into each cached step
+    function at _prepare_run time.  The step trace must never read these
+    from mutable sampler attributes: a BatchChain's step fn may be traced
+    lazily AFTER a later run()/_prepare_run() overwrote them (round-3
+    review finding — the chain would silently adopt the other run's warmup
+    schedule)."""
+
+    n_discard: int
+    collect: jax.Array
+    window: jax.Array
+
 __all__ = ["NUTS", "NUTSMassMatrixConfig"]
 
 # Dual-averaging constants (generic_nuts.rs:638-643).
@@ -240,7 +253,10 @@ class NUTS(BatchSampler):
             cache = self._stepfn_cache = {}
         key = (n_collect, n_discard, id(self._extract_fn))
         if key not in cache:
-            cache[key] = self._make_step_fn()
+            sched = _Sched(n_discard, self._collect_sched, self._window_sched)
+            cache[key] = self._make_step_fn(
+                step=lambda c, m, _s=sched: self._step(c, m, _s)
+            )
         self._step_fn = cache[key]
 
     # -- carry --------------------------------------------------------------
@@ -290,7 +306,9 @@ class NUTS(BatchSampler):
         )
 
     # -- transition ---------------------------------------------------------
-    def _step(self, carry, m):
+    def _step(self, carry, m, sched: _Sched | None = None):
+        if sched is None:  # direct calls outside a prepared run
+            sched = _Sched(self._n_discard, self._collect_sched, self._window_sched)
         dtype = carry["pos"].dtype
         m1 = (m + 1).astype(dtype)  # 1-based step number
 
@@ -322,7 +340,7 @@ class NUTS(BatchSampler):
                 # scalar phase switch, one fused kernel per depth cap
                 (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
                     jax.lax.cond(
-                        m < self._n_discard,
+                        m < sched.n_discard,
                         lambda: run_kernel_at(self.warmup_tree_depth),
                         lambda: run_kernel_at(self.max_tree_depth),
                     )
@@ -359,7 +377,7 @@ class NUTS(BatchSampler):
             if self.warmup_tree_depth != self.max_tree_depth:
                 # scalar phase switch: only one branch executes per step
                 tree = jax.lax.cond(
-                    m < self._n_discard,
+                    m < sched.n_discard,
                     lambda: run_tree(self.warmup_tree_depth),
                     lambda: run_tree(self.max_tree_depth),
                 )
@@ -370,7 +388,7 @@ class NUTS(BatchSampler):
         eta = 1.0 / (m1 + _T0)
         accept_stat = tree.alpha / tree.n_alpha.astype(dtype)
         h_bar = (1.0 - eta) * carry["h_bar"] + eta * (self.target_accept_p - accept_stat)
-        warmup = m1 <= self._n_discard
+        warmup = m1 <= sched.n_discard
         eps_w = jnp.exp(carry["mu"] - jnp.sqrt(m1) / _GAMMA * h_bar)
         eta2 = m1 ** (-_KAPPA)
         eps_bar_w = jnp.exp(
@@ -396,14 +414,14 @@ class NUTS(BatchSampler):
         )
 
         if self.mass_config.adaptation != "none":
-            new = self._mass_adaptation(new, m)
+            new = self._mass_adaptation(new, m, sched)
         return new
 
     # -- mass-matrix warmup -------------------------------------------------
-    def _mass_adaptation(self, carry, m):
-        m_idx = jnp.minimum(m, self._collect_sched.shape[0] - 1)
-        collect = self._collect_sched[m_idx]
-        window_end = self._window_sched[m_idx]
+    def _mass_adaptation(self, carry, m, sched: _Sched):
+        m_idx = jnp.minimum(m, sched.collect.shape[0] - 1)
+        collect = sched.collect[m_idx]
+        window_end = sched.window[m_idx]
         carry = dict(carry)
         carry["welford"] = self._welford_update(
             carry["welford"], carry["pos"], collect

@@ -70,14 +70,17 @@ class ProgressRenderer:
                     self._local_rotation = (start + 1) % self.n_chains
             else:
                 start = int(start)
+        # Explicit flag (not a length heuristic: a rotated window of length
+        # n_chains would be misindexed): stream mode pre-rotates on device
+        # and sets p_chain_is_window; the chunked tracker exposes the full
+        # chain-indexed array.
+        is_window = bool(getattr(tracker, "p_chain_is_window", False))
         lines = [_bar("Global", done * self.n_chains, self.total * self.n_chains, msg)]
         for i in range(self.n_bars):
             idx = (start + i) % self.n_chains
             cmsg = ""
             if p_chain is not None and i < len(p_chain):
-                # full per-chain array → index by chain id; pre-rotated
-                # window (stream mode) → positional
-                j = idx if len(p_chain) == self.n_chains else i
+                j = i if is_window else idx
                 if float(p_chain[j]) >= 0.0:
                     cmsg = f"p(accept)≈{float(p_chain[j]):.2f}"
             lines.append(_bar(f"Chain {idx}", done, self.total, cmsg))

@@ -141,6 +141,9 @@ def test_custom_vjp_rule_actually_used():
     logp.defvjp(fwd, bwd)
     g = jax.grad(logp)(jnp.array([1.0, 2.0]))
     np.testing.assert_allclose(np.asarray(g), [-3.0, -6.0], rtol=1e-6)
+
+
+def test_sharded_nuts_example():
     import sharded_nuts
 
     sample = sharded_nuts.main(n_chains=64, dim=8, n_collect=30, n_warmup=80)

@@ -346,3 +346,30 @@ def test_incremental_chain_checkpoint_resume(tmp_path):
     ref = np.asarray(NUTS(_gauss_target(), init_det(3, 2), 0.8).set_seed(5).run(35))
     rest = np.asarray(NUTS(_gauss_target(), init_det(3, 2), 0.8).set_seed(5).resume(p, 15))
     np.testing.assert_allclose(rest, ref[:, 20:], rtol=1e-6, atol=1e-8)
+
+
+def test_chain_schedule_survives_interleaved_run():
+    """Review finding: a BatchChain's lazily-traced step fn must keep the
+    warmup schedule it was created with, even if the sampler runs with a
+    DIFFERENT schedule in between (the schedules are bound into the step fn
+    at _prepare_run time, not read from mutable sampler attributes)."""
+    from general_mcmc_tpu import NUTSMassMatrixConfig
+
+    def mk():
+        return NUTS(
+            _gauss_target(), init_det(4, 2), 0.8,
+            mass_config=NUTSMassMatrixConfig(
+                adaptation="diagonal", start_buffer=4, end_buffer=3,
+                initial_window=2,
+            ),
+        ).set_seed(13)
+
+    K, N = 16, 20
+    ref = np.asarray(mk().run(N, K))
+
+    s = mk()
+    c = s.chain(n_warmup=K)
+    s.run(10, 50)  # overwrites the sampler's schedule attrs BEFORE c traces
+    c.step(K)
+    got = np.asarray(c.step(N))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-8)

@@ -236,3 +236,30 @@ def test_auto_mode_selects_by_staged_bytes():
     mh2._AUTO_STREAM_BYTES = 0
     s_stream, _ = mh2.run_progress(30, 10, progress=False)  # auto → stream
     np.testing.assert_array_equal(np.asarray(s_stream), np.asarray(s_small))
+
+
+def test_stream_window_indexing_small_chain_count(capsys):
+    """Review finding: with n_chains <= 5 the stream-mode rotated window has
+    full length; the renderer must index it POSITIONALLY (via the explicit
+    p_chain_is_window flag), not by chain id."""
+    import io
+
+    from general_mcmc_tpu.utils.progress import ProgressRenderer
+
+    buf = io.StringIO()
+    r = ProgressRenderer(4, 100, min_interval=0.0, stream=buf)
+
+    class T:
+        p_accept = 0.5
+        p_chain_is_window = True
+        p_accept_chain_start = 1  # window = chains [1, 2, 3, 0]
+        p_accept_chain = [0.20, 0.30, 0.40, 0.10]  # values of chains 1,2,3,0
+
+        def max_rhat(self):
+            return 1.0
+
+    r.update(10, T())
+    out = buf.getvalue()
+    for chain, val in ((1, 0.20), (2, 0.30), (3, 0.40), (0, 0.10)):
+        line = next(l for l in out.splitlines() if l.startswith(f"Chain {chain} "))
+        assert f"{val:.2f}" in line, (chain, line)

@@ -283,31 +283,28 @@ def test_diagnostics_memory_bounded_at_bench_shape():
     from general_mcmc_tpu.diagnostics import stats as S
 
     n0, c0, p = 3072, 10_240, 100
-    c, n = 2 * c0, n0 // 2
-    want = max(1, S._ess_chain_chunk(c, n, p) // 2)
-    assert want < c0  # the bench shape must engage chunking
-    chunk = S._pick_chain_chunk(c0, want)
+    # Use the EXACT plan production uses (shared helper — review finding:
+    # a copy-pasted heuristic here would silently diverge from the bench).
+    plan = S._plan_chunks(n0, c0, p, split=True)
+    assert plan is not None  # the bench shape must engage chunking
+    chunk, W, main = plan
+    assert main == c0  # 10240 has divisor-friendly chunk sizes
 
     # The one-program nested-map sufficient-statistics kernel takes the FULL
     # sample as an argument (aliasing the existing buffer) and must keep
     # temps + outputs bounded — a full-size relayout like round 2's pad temp
     # would show up as ~12 GiB of temp right here.  (On the real TPU backend
     # the same lowering measured temp ≈ 1.7 GiB, probed round 3.)
-    n_chunks = c0 // chunk
-    per_chain_bytes = n0 * p * 4
-    cap_chunks = max(1, int(2**30 // per_chain_bytes) // chunk)
-    m_target = max(1, min(int(n_chunks**0.5), cap_chunks))
-    M = next(d for d in range(m_target, 0, -1) if n_chunks % d == 0)
-    W = M * chunk
     full = jax.ShapeDtypeStruct((n0, c0, p), jnp.float32)
     ma = (
-        S._suffstats_all.lower(full, W, chunk, split=True, steps_major=True)
+        S._suffstats_all.lower(full, W, chunk, main, split=True, steps_major=True)
         .compile()
         .memory_analysis()
     )
     extra = ma.temp_size_in_bytes + ma.output_size_in_bytes
     assert extra < 2.5 * 2**30, f"suffstats program temps {extra / 2**30:.2f} GiB"
 
+    c, n = 2 * c0, n0 // 2  # split chains / split length
     means = jax.ShapeDtypeStruct((c, p), jnp.float32)
     sq = jax.ShapeDtypeStruct((c, p), jnp.float32)
     acov = jax.ShapeDtypeStruct((n, p), jnp.float32)
@@ -337,3 +334,22 @@ def test_return_moments_matches_numpy(monkeypatch):
     np.testing.assert_allclose(np.asarray(m2), flat.mean(axis=0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sd2), flat.std(axis=0), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r), rtol=1e-5)
+
+
+def test_chunked_prime_chain_count_tail_path(monkeypatch):
+    """A prime chain count larger than the chunk budget exercises the
+    main+tail split (review finding: the old divisor-forcing degraded to
+    chunk=1); results must still combine exactly."""
+    from general_mcmc_tpu.diagnostics import stats as S
+
+    key = jax.random.key(31)
+    x = jax.random.normal(key, (23, 128, 2), jnp.float32)
+    r_ref, e_ref = split_rhat_mean_ess(x)
+    monkeypatch.setattr(S, "_ESS_CHUNK_BYTES", 16 * 4096)
+    plan = S._plan_chunks(128, 23, 2, split=True)
+    assert plan is not None
+    chunk, W, main = plan
+    assert main < 23 and 23 - main < chunk  # tail path engaged
+    r_c, e_c = split_rhat_mean_ess(x)
+    np.testing.assert_allclose(np.asarray(r_c), np.asarray(r_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_c), np.asarray(e_ref), rtol=1e-4)
