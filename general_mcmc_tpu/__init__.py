@@ -27,6 +27,7 @@ from .diagnostics.stats import (
     split_rhat_mean_ess,
 )
 from .models import distributions
+from .samplers.base import BatchChain, BatchSampler
 from .samplers.gibbs import GibbsSampler
 from .samplers.hmc import HMC
 from .samplers.mala import MALA
