@@ -206,7 +206,7 @@ def _nuts2_kernel(
     # correctness requirement.  Keep it: it pins interpret-mode NaN
     # behavior and costs one pass per transition.
     zero_bd = x * 0.0
-    for s_ in range(max_depth):
+    for s_ in range(pos_ck.shape[0]):  # stack has max_depth-1 slots
         pos_ck[s_] = zero_bd
         vel_ck[s_] = zero_bd
         c1_ck[s_] = fzero
@@ -405,7 +405,9 @@ def pallas_nuts2_step(
         block_chains = n
     B = block_chains
     n_blocks = n // B
-    S = max_depth
+    # Subtrees at doubling j have depth j ≤ max_depth-1; max checkpoint
+    # slot index is depth-1, so max_depth-1 slots suffice (VMEM headroom).
+    S = max(1, max_depth - 1)
 
     def vg_fn(x):
         lpv, g = jax.vmap(jax.value_and_grad(logp_fn))(x)

@@ -231,7 +231,9 @@ def build_subtree(
     ckpt_dtype=None,
 ) -> SubtreeResult:
     """Build one subtree of 2^depth leapfrog leaves in direction ``v`` from
-    the endpoint ``(pos, mom, grad)``.
+    the endpoint ``(pos, mom, grad)``.  Precondition: ``depth < max_depth``
+    (the checkpoint stack is sized max_depth-1 — callers double at
+    j = 0..max_depth-1, and nuts_tree_step peels j=0).
 
     Iterative equivalent of build_tree_with_mass (generic_nuts.rs:1153-1341):
     leaves are produced left-to-right in travel order; internal-node U-turn
@@ -265,15 +267,20 @@ def build_subtree(
     delta_max = jnp.asarray(DELTA_MAX, dtype)
     one = jnp.asarray(1.0, dtype)
 
-    # One checkpoint slot per level; stores happen exactly once per
-    # iteration (leaf pair), so no spare slot is needed.
+    # One checkpoint slot per level.  Slot count: a subtree built at
+    # doubling j has depth j ≤ max_depth-1 (the j=0 doubling is peeled),
+    # and a depth-js subtree's max slot index is popcount(i>>1) ≤ js-1 —
+    # so max_depth-1 slots suffice, one fewer than the doubling cap.  At
+    # the HBM-bound bench config (cap 4) that is 2 fewer [d] buffers
+    # streamed through every leaf-pair iteration (round-3 carry-slimming;
+    # stack contents and RNG are unchanged, trajectories bit-identical).
     # ``ckpt_dtype`` (e.g. bf16) stores the stacks at reduced precision:
     # they feed only the U-turn SIGN tests, which tolerate ~3 decimal
     # digits — halving the dominant stack traffic in the subtree carry.
     # Documented deviation: U-turn decisions near the zero boundary may
     # differ from the f32 path (statistically negligible; R-hat/min-ESS
     # gated on the benchmark).
-    n_slots = max_depth
+    n_slots = max(1, max_depth - 1)
     ck_dtype = dtype if ckpt_dtype is None else ckpt_dtype
     zerod = jnp.zeros((d,), dtype)
 
