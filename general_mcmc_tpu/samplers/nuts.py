@@ -161,12 +161,18 @@ class NUTS(BatchSampler):
     mass_config : :class:`NUTSMassMatrixConfig`; default disabled, matching
         the reference façade (generic_nuts.rs:370-377) — pass
         ``NUTSMassMatrixConfig()`` for Stan-style diagonal adaptation.
-    backend : ``"xla"`` (vmapped while_loop tree) or ``"pallas"`` (fused
+    backend : ``"xla"`` (vmapped while_loop tree), ``"pallas"`` (fused
         VMEM-resident kernel with a block-synchronized tree schedule,
         :mod:`..ops.pallas_nuts2`; ``"pallas2"`` is accepted as an alias —
         the flat-schedule v1 kernel it distinguished was retired in round
-        3).  The fused backend is TPU only, identity/diagonal mass, and
-        uses the hardware-PRNG stream.
+        3), or ``"static"`` (static-window schedule,
+        :mod:`..ops.static_tree`: all 2^max_depth − 1 leapfrogs run in a
+        slim fixed-length scan, tree logic evaluated retrospectively from
+        a Gram matrix — fastest at small depth caps where trees are
+        near-saturated; wasteful at large caps).  The fused backend is
+        TPU only; fused and static are identity/diagonal mass only, and
+        the static backend's RNG stream differs from the xla tree's
+        (identical transition law; see the ops/static_tree.py contract).
     pallas_options : optional dict of fused-kernel tuning knobs:
         ``block_chains`` (chains per kernel block) and ``vmem_limit_mb``
         (Mosaic scoped-VMEM budget).
@@ -211,12 +217,25 @@ class NUTS(BatchSampler):
             raise ValueError(f"unknown adaptation {cfg.adaptation!r}")
         self.mass_config = cfg
         self._dense = cfg.adaptation == "dense"
-        if backend not in ("xla", "pallas", "pallas2"):
+        if backend not in ("xla", "pallas", "pallas2", "static"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas2":  # alias kept from the two-kernel era
             backend = "pallas"
-        if backend == "pallas" and self._dense:
-            raise ValueError("the pallas backend supports identity/diagonal mass only")
+        if backend in ("pallas", "static") and self._dense:
+            raise ValueError(
+                f"the {backend} backend supports identity/diagonal mass only"
+            )
+        if backend == "static" and max(
+            self.max_tree_depth, self.warmup_tree_depth
+        ) > 8:
+            # every transition costs 2^depth - 1 gradient evals regardless
+            # of where the trajectory stops — a depth-10 static window would
+            # burn 1023 evals/step; use the dynamic tree there instead.
+            raise ValueError(
+                "the static backend always integrates the full 2^max_depth "
+                "window; set max_tree_depth <= 8 (it is built for small "
+                "caps) or use backend='xla'"
+            )
         self.backend = backend
         self.pallas_options = dict(pallas_options or {})
         # Optional reduced-precision checkpoint stacks for the XLA tree
@@ -359,6 +378,38 @@ class NUTS(BatchSampler):
                 diverged=diverged,
                 leapfrogs=leapfrogs,
             )
+        elif self.backend == "static":
+            from ..ops.tree import TreeStepResult
+            from ..ops.static_tree import static_nuts_step
+
+            keys = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
+
+            def run_static(depth):
+                r = static_nuts_step(
+                    keys,
+                    carry["pos"],
+                    carry["lp"],
+                    carry["grad"],
+                    carry["eps"],
+                    carry["mass"].inv,
+                    carry["mass"].scale,
+                    self._vg,
+                    depth,
+                )
+                return TreeStepResult(
+                    pos=r.pos, lp=r.lp, grad=r.grad, alpha=r.alpha,
+                    n_alpha=r.n_alpha, depth=r.depth, diverged=r.diverged,
+                    leapfrogs=r.leapfrogs,
+                )
+
+            if self.warmup_tree_depth != self.max_tree_depth:
+                tree = jax.lax.cond(
+                    m < sched.n_discard,
+                    lambda: run_static(self.warmup_tree_depth),
+                    lambda: run_static(self.max_tree_depth),
+                )
+            else:
+                tree = run_static(self.max_tree_depth)
         else:
             keys = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
 

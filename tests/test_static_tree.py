@@ -1,0 +1,322 @@
+"""Static-window NUTS backend: numpy-oracle differential test + statistical
+equivalence against the dynamic tree.
+
+The oracle reimplements ops/static_tree.py's schedule in pure numpy for a
+single chain, consuming the same explicit randoms via the ``randoms=``
+override — every output (proposal, depth, divergence, dual-averaging α/n_α)
+must match the batched jax implementation exactly (float tolerance only).
+Statistical tests then pin the transition law to the dynamic backend's.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from general_mcmc_tpu.ops.static_tree import static_nuts_step, uturn_nodes
+from general_mcmc_tpu.ops.tree import DELTA_MAX, MassMatrix, nuts_tree_step
+
+
+def _leapfrog_np(vg, pos, mom, grad, eps):
+    half = 0.5 * eps
+    mom = mom + grad * half
+    pos = pos + _MASS_INV * mom * eps
+    lp, g = vg(pos)
+    mom = mom + g * half
+    return pos, mom, lp, g
+
+
+_MASS_INV = None  # set per-oracle-call (single-chain diagonal)
+
+
+def oracle_static_step(vg, pos, lp, grad, eps, mass_inv, J, rnd):
+    """Single-chain numpy oracle of the static schedule."""
+    global _MASS_INV
+    _MASS_INV = mass_inv
+    T = 1 << J
+    o = int(rnd["offset"])
+    mom0 = rnd["mom0"]
+    vel0 = mass_inv * mom0
+    joint0 = lp - 0.5 * np.dot(mom0, vel0)
+    logu = joint0 - rnd["expo"]
+
+    # integration: o backward steps (-eps), T-1-o forward steps (+eps)
+    win_pos = np.zeros((T,) + pos.shape, pos.dtype)
+    win_vel = np.zeros_like(win_pos)
+    win_joint = np.full((T,), np.nan, pos.dtype)
+    win_pos[o], win_vel[o], win_joint[o] = pos, vel0, joint0
+    p, m, g = pos, mom0, grad
+    for k in range(o):
+        p, m, lpk, g = _leapfrog_np(vg, p, m, g, -eps)
+        w = o - 1 - k
+        win_pos[w] = p
+        win_vel[w] = mass_inv * m
+        win_joint[w] = lpk - 0.5 * np.dot(m, mass_inv * m)
+    p, m, g = pos, mom0, grad
+    for k in range(T - 1 - o):
+        p, m, lpk, g = _leapfrog_np(vg, p, m, g, eps)
+        w = o + 1 + k
+        win_pos[w] = p
+        win_vel[w] = mass_inv * m
+        win_joint[w] = lpk - 0.5 * np.dot(m, mass_inv * m)
+
+    def turned(a, b):  # window order a < b
+        diff = win_pos[b] - win_pos[a]
+        return (np.dot(win_vel[a], diff) < 0) or (np.dot(win_vel[b], diff) < 0)
+
+    lo = hi = o
+    n, s = 1, True
+    prop_w, diverged, depth = o, False, 0
+    alpha_last, n_alpha_last = 0.0, 1
+    for j in range(J):
+        if not s:
+            break
+        L = 1 << j
+        v_neg = (o >> j) & 1 == 1
+        w_m = [lo - 1 - t if v_neg else hi + 1 + t for t in range(L)]
+        joint_t = win_joint[w_m]
+        ok_t = (logu - DELTA_MAX) < joint_t
+        valid_t = logu < joint_t
+        turned_t = np.zeros(L, bool)
+        for (ta, tb) in uturn_nodes(j):
+            a, b = sorted((w_m[ta], w_m[tb]))
+            turned_t[tb] |= turned(a, b)
+        fail = ~ok_t | turned_t
+        t_fail = int(np.argmax(fail)) if fail.any() else L - 1
+        s_sub = not fail.any()
+        evaluated = np.arange(L) <= t_fail
+        alpha_last = float(
+            np.sum(np.minimum(1.0, np.exp(joint_t[evaluated] - joint0)))
+        )
+        n_alpha_last = t_fail + 1
+        n_sub = int(valid_t[evaluated].sum())
+        if fail.any() and not ok_t[t_fail]:
+            diverged = True
+        if s_sub and n_sub > 0:
+            k_idx = min(int(rnd["u_sel"][j] * n_sub), n_sub - 1)
+            t_pick = np.flatnonzero(valid_t)[k_idx]
+            if rnd["u_swap"][j] * n < n_sub:
+                prop_w = w_m[t_pick]
+        n += n_sub
+        depth += 1
+        if v_neg:
+            lo -= L
+        else:
+            hi += L
+        s = s_sub and not turned(lo, hi)
+    return dict(
+        pos=win_pos[prop_w],
+        alpha=alpha_last,
+        n_alpha=n_alpha_last,
+        depth=depth,
+        diverged=diverged,
+    )
+
+
+def _gaussian(d, dtype=np.float32):
+    scales = np.exp(np.linspace(0, np.log(10.0), d)).astype(dtype)
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    def logp_np(x):
+        return -0.5 * np.sum((x / scales) ** 2)
+
+    def vg_np(x):
+        return logp_np(x), (-x / scales**2).astype(dtype)
+
+    return scales, logp, vg_np
+
+
+@pytest.mark.parametrize("J,eps_scale", [(3, 0.8), (4, 0.5), (1, 1.2)])
+def test_oracle_exact(J, eps_scale):
+    d, B = 6, 96
+    scales, logp, vg_np = _gaussian(d)
+    vg = jax.value_and_grad(logp)
+    rng = np.random.default_rng(J * 100 + 1)
+    pos = (rng.standard_normal((B, d)) * scales).astype(np.float32)
+    lp, grad = jax.vmap(vg)(jnp.asarray(pos))
+    mass_inv = np.broadcast_to(scales**2, (B, d)).astype(np.float32)
+    eps = (eps_scale * (0.8 + 0.4 * rng.random(B))).astype(np.float32)
+    T = 1 << J
+    rnd = dict(
+        mom0=(rng.standard_normal((B, d)) / np.sqrt(mass_inv)).astype(np.float32),
+        expo=rng.exponential(size=B).astype(np.float32),
+        offset=rng.integers(0, T, size=B).astype(np.int32),
+        u_sel=rng.random((B, J)).astype(np.float32),
+        u_swap=rng.random((B, J)).astype(np.float32),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), B)  # unused with randoms=
+    out = static_nuts_step(
+        keys,
+        jnp.asarray(pos),
+        lp.astype(jnp.float32),
+        grad.astype(jnp.float32),
+        jnp.asarray(eps),
+        jnp.asarray(mass_inv),
+        1.0 / jnp.sqrt(jnp.asarray(mass_inv)),
+        vg,
+        J,
+        randoms=rnd,
+    )
+    out = {k: np.asarray(v) for k, v in out._asdict().items()}
+    n_div = 0
+    for b in range(B):
+        ob = oracle_static_step(
+            vg_np,
+            pos[b],
+            float(lp[b]),
+            np.asarray(grad[b], np.float32),
+            float(eps[b]),
+            mass_inv[b],
+            J,
+            {k: v[b] for k, v in rnd.items()},
+        )
+        assert out["depth"][b] == ob["depth"], b
+        assert out["diverged"][b] == ob["diverged"], b
+        assert out["n_alpha"][b] == ob["n_alpha"], b
+        np.testing.assert_allclose(out["alpha"][b], ob["alpha"], rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(out["pos"][b], ob["pos"], rtol=2e-4, atol=2e-5)
+        n_div += int(ob["diverged"])
+    assert out["leapfrogs"][0] == T - 1
+    # keep the fixture in an interesting regime: some trees must terminate
+    # early at J>=3 (depth spread) without everything diverging
+    if J >= 3:
+        assert len(np.unique(out["depth"])) > 1
+        assert n_div < B // 2
+
+
+def _run_chain_stats(step_fn, pos, lp, grad, steps, key):
+    @jax.jit
+    def run(pos, lp, grad):
+        def body(carry, m):
+            pos, lp, grad = carry
+            keys = jax.random.split(jax.random.fold_in(key, m), pos.shape[0])
+            r = step_fn(keys, pos, lp, grad)
+            return (r.pos, r.lp, r.grad), (r.pos, r.alpha / r.n_alpha, r.depth)
+        _, ys = jax.lax.scan(body, (pos, lp, grad), jnp.arange(steps))
+        return ys
+
+    samples, acc, depth = jax.tree.map(np.asarray, run(pos, lp, grad))
+    return samples[steps // 4:], acc[steps // 4:], depth[steps // 4:]
+
+
+def test_matches_dynamic_law():
+    """Same transition law as the dynamic tree: marginal moments, mean
+    acceptance statistic, and mean tree depth agree on the ill-conditioned
+    Gaussian at a fixed step size and true mass."""
+    d, B, steps, J = 8, 384, 300, 3
+    scales, logp, _ = _gaussian(d)
+    vg = jax.value_and_grad(logp)
+    mass_inv = jnp.broadcast_to(jnp.asarray(scales**2), (B, d))
+    mass_scale = 1.0 / jnp.sqrt(mass_inv)
+    eps = jnp.full((B,), 0.8, jnp.float32)
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray((rng.standard_normal((B, d)) * scales).astype(np.float32))
+    lp, grad = jax.vmap(vg)(pos)
+    lp, grad = lp.astype(jnp.float32), grad.astype(jnp.float32)
+
+    def step_static(keys, pos, lp, grad):
+        return static_nuts_step(
+            keys, pos, lp, grad, eps, mass_inv, mass_scale, vg, J
+        )
+
+    mass1 = MassMatrix(inv=jnp.asarray(scales**2), scale=1.0 / jnp.asarray(scales))
+
+    def step_dyn(keys, pos, lp, grad):
+        return jax.vmap(
+            lambda k, p, l, g: nuts_tree_step(
+                k, p, l, g, eps[0], mass1, False, vg, J
+            )
+        )(keys, pos, lp, grad)
+
+    s_s, a_s, d_s = _run_chain_stats(step_static, pos, lp, grad, steps, jax.random.PRNGKey(1))
+    s_d, a_d, d_d = _run_chain_stats(step_dyn, pos, lp, grad, steps, jax.random.PRNGKey(2))
+
+    flat_s = s_s.reshape(-1, d)
+    flat_d = s_d.reshape(-1, d)
+    np.testing.assert_allclose(flat_s.std(0), scales, rtol=0.05)
+    np.testing.assert_allclose(flat_s.std(0), flat_d.std(0), rtol=0.05)
+    np.testing.assert_allclose(flat_s.mean(0) / scales, 0.0, atol=0.05)
+    assert abs(a_s.mean() - a_d.mean()) < 0.02
+    assert abs(d_s.mean() - d_d.mean()) < 0.15
+
+
+def test_divergence_parity():
+    """A grossly too-large step size produces divergences on both backends
+    at comparable rates, and the static backend flags them per chain."""
+    d, B, J = 8, 256, 3
+    scales, logp, _ = _gaussian(d)
+    vg = jax.value_and_grad(logp)
+    mass_inv = jnp.broadcast_to(jnp.asarray(scales**2), (B, d))
+    eps = jnp.full((B,), 25.0, jnp.float32)
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray((rng.standard_normal((B, d)) * scales).astype(np.float32))
+    lp, grad = jax.vmap(vg)(pos)
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    out = static_nuts_step(
+        keys, pos, lp.astype(jnp.float32), grad.astype(jnp.float32),
+        eps, mass_inv, 1.0 / jnp.sqrt(mass_inv), vg, J,
+    )
+    div = np.asarray(out.diverged)
+    assert div.mean() > 0.5
+    # diverged chains must keep a finite state (proposal never a NaN leaf)
+    assert np.isfinite(np.asarray(out.pos)).all()
+    assert np.isfinite(np.asarray(out.lp)).all()
+
+
+def test_static_backend_end_to_end():
+    """The full adaptive NUTS pipeline (eps search, warmup windows, dual
+    averaging, mass adaptation) through backend='static' reaches the target
+    distribution with healthy diagnostics."""
+    from general_mcmc_tpu import NUTS, GaussianND, NUTSMassMatrixConfig, init_with_seed
+    from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+
+    scales = jnp.array([1.0, 3.0, 0.5, 7.0], jnp.float32)
+    t = GaussianND(mean=jnp.zeros(4, jnp.float32), cov=scales)
+    s = NUTS(
+        t,
+        init_with_seed(64, 4, 0),
+        mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
+        max_tree_depth=4,
+        target_accept_p=0.85,
+        seed=0,
+        backend="static",
+    )
+    out = np.asarray(s.run(300, 200))
+    assert out.shape == (64, 300, 4)
+    flat = out.reshape(-1, 4)
+    np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.12)
+    rhat, _ = split_rhat_mean_ess(jnp.asarray(out))
+    assert np.asarray(rhat).max() < 1.05
+    # leapfrog counter reports the static schedule's actual work
+    assert int(np.asarray(s.leapfrog_count)[0]) == 500 * 15
+
+
+def test_static_backend_warmup_depth_switch():
+    """warmup_tree_depth != max_tree_depth compiles the phase-switch cond."""
+    from general_mcmc_tpu import NUTS, GaussianND, init_with_seed
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.ones(2, jnp.float32))
+    s = NUTS(
+        t, init_with_seed(8, 2, 0), max_tree_depth=3, warmup_tree_depth=2,
+        step_size=0.7, seed=1, backend="static",
+    )
+    out = np.asarray(s.run(10, 6))
+    assert out.shape == (8, 10, 2)
+    assert np.isfinite(out).all()
+    # 6 warmup steps at 2^2-1=3 evals + 10 collection at 2^3-1=7
+    assert int(np.asarray(s.leapfrog_count)[0]) == 6 * 3 + 10 * 7
+
+
+def test_static_backend_guards():
+    from general_mcmc_tpu import NUTS, GaussianND, NUTSMassMatrixConfig, init_with_seed
+
+    t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.ones(2, jnp.float32))
+    with pytest.raises(ValueError, match="static"):
+        NUTS(t, init_with_seed(4, 2, 0), backend="static")  # depth 10 default
+    with pytest.raises(ValueError, match="diagonal"):
+        NUTS(
+            t, init_with_seed(4, 2, 0), backend="static", max_tree_depth=4,
+            mass_config=NUTSMassMatrixConfig(adaptation="dense", dense_max_dim=8),
+        )
