@@ -72,8 +72,9 @@ N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 192))
 # 665k→1.14M min-ESS/s.  Cap 3 clips hard (min-ESS 7.8M→4.6M); see
 # docs/BENCH_HISTORY.md round-2 sweep.
 MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
-# NUTS backend: "xla" (default) | "pallas" | "pallas2" (fused kernels), with
-# optional GMT_BENCH_BLOCK (chains/kernel block) and GMT_BENCH_VMEM (MB).
+# NUTS backend: "xla" (default) | "pallas" (fused kernel; GMT_BENCH_BLOCK
+# chains/kernel block, GMT_BENCH_VMEM MB) | "static" (static-window
+# schedule, ops/static_tree.py — needs MAX_TREE_DEPTH <= 8).
 BACKEND = os.environ.get("GMT_BENCH_BACKEND", "xla")
 # Acceptance-target sweep (0.65…0.95, R-hat gated): broad optimum at
 # 0.89–0.91 — under the depth-4 cap the leapfrog cost stays ~flat while

@@ -68,6 +68,17 @@ def test_nuts_sharded_matches_unsharded():
     np.testing.assert_allclose(shard, ref, atol=1e-8)
 
 
+def test_nuts_static_backend_sharded_matches_unsharded():
+    """The static-window schedule ([T, B, d] leaf stacks, per-chain Gram
+    gathers) must be chain-shardable bit-identically too."""
+    target = _gauss2()
+    n1 = NUTS(target, init_det(16, 2), 0.8, max_tree_depth=4, backend="static").seed(4)
+    ref = np.asarray(n1.run(10, 10))
+    n2 = NUTS(target, init_det(16, 2), 0.8, max_tree_depth=4, backend="static").seed(4)
+    shard = np.asarray(run_sharded(n2, 10, 10, chain_mesh(8)))
+    np.testing.assert_allclose(shard, ref, atol=1e-8)
+
+
 def test_nuts_dim_sharded_2d_mesh():
     """Chains × dim 2-D mesh (4×2): the tensor-parallel analog for large-d
     targets.  XLA partitions the logp dot products with auto-inserted
