@@ -37,11 +37,21 @@ Schedule (J = max_depth, T = 2^J leaves):
    per-doubling global check — into [B]-sized lookups:
    node (a, b) in window order turns iff
    ``G[a,b] − G[a,a] < 0  or  G[b,b] − G[b,a] < 0``.
-   Divergences, early-exit accounting (the dynamic builder stops a
-   subtree at its first bad leaf — replicated via first-failure masks so
-   dual-averaging α/n_α statistics match), uniform proposal selection
-   among slice-valid leaves, and min(1, n'/n) across-doubling swaps are
-   all evaluated per doubling on [B, 2^j] arrays.
+
+   The tree structure is evaluated **entirely in window coordinates,
+   where it is static** (key fact: since direction v_j = bit j of the
+   offset, the window after j doublings is exactly the size-2^j dyadic
+   block of the window containing the initial leaf, and doubling j's
+   subtree is that block's *sibling* — so every U-turn node is one of
+   the T−1 static dyadic intervals, checked by plain slices of the
+   Gram).  Early-exit accounting (the dynamic builder stops a subtree
+   at its first bad leaf in travel order — dual-averaging α/n_α must
+   match) becomes segment cumsums over [B, T/L, L] reshapes in both
+   travel orientations, and all per-chain choices (active sibling
+   block, merged-window check, proposal leaf) are one-hot selects over
+   axes of length ≤ T.  No per-chain gathers / advanced indexing
+   anywhere: TPU-measured, gather-style retrospective logic cost ~10
+   ms/transition at B=10k (65% of the step) vs ~0 for this form.
 
 Equal in distribution to :func:`..ops.tree.nuts_tree_step` (the in-subtree
 reservoir compose to a uniform over valid leaves; here the uniform is drawn
@@ -67,6 +77,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from .tree import DELTA_MAX
 
@@ -174,9 +185,22 @@ def static_nuts_step(
     # in the forward-time convention and window order is time order.
     off_col = offset[:, None]
 
-    def body(carry, i):
-        pb, mb, gb, pf, mf, gf = carry
-        sel = i < off_col  # [B, 1] bool: advance the backward frontier
+    # The T−1 leapfrogs run as a fully-unrolled Python loop (the window is
+    # short by design) collecting per-leaf outputs, stacked ONCE into
+    # [B, T, d] — the batch-friendly layout the Gram matmul and the
+    # proposal select want.  TPU-measured alternatives, both worse: scan-
+    # stacked [T, B, d] outputs need a 655 MB-per-stack relayout before the
+    # Gram, and per-iteration dynamic_update_slice writes into a [B, T, d]
+    # scan carry cost ~0.17 ms each (~5 ms per transition) against ~0.02 ms
+    # of raw bytes.  ``unroll`` is accepted for API compatibility but the
+    # loop is always fully unrolled.
+    del unroll
+    pb = pf = pos
+    mb = mf = mom0
+    gb = gf = grad
+    pos_l, vel_l, joint_l = [], [], []
+    for i in range(T - 1):
+        sel = jnp.asarray(i, jnp.int32) < off_col  # [B, 1] bool: backward?
         # where-selects, not arithmetic blends: a NaN frontier (possible
         # after a divergence overflows) must not poison the other frontier.
         e = jnp.where(sel, -eps[:, None], eps[:, None])
@@ -198,19 +222,14 @@ def static_nuts_step(
         pf = jnp.where(sel, pf, p1)
         mf = jnp.where(sel, mf, m1)
         gf = jnp.where(sel, gf, g1)
-        return (pb, mb, gb, pf, mf, gf), (p1, vel1, joint1)
+        pos_l.append(p1)
+        vel_l.append(vel1)
+        joint_l.append(joint1)
 
-    init = (pos, mom0, grad, pos, mom0, grad)
-    _, (pos_s, vel_s, joint_s) = jax.lax.scan(
-        body,
-        init,
-        jnp.arange(T - 1, dtype=jnp.int32),
-        unroll=(T - 1) if unroll is None else unroll,
-    )
     # Slot T-1 holds the initial leaf.
-    pos_all = jnp.concatenate([pos_s, pos[None]], axis=0)  # [T, B, d]
-    vel_all = jnp.concatenate([vel_s, vel0[None]], axis=0)
-    joint_all = jnp.concatenate([joint_s, joint0[None]], axis=0)  # [T, B]
+    pos_all = jnp.stack(pos_l + [pos], axis=1)  # [B, T, d]
+    vel_all = jnp.stack(vel_l + [vel0], axis=1)
+    joint_all = jnp.stack(joint_l + [joint0], axis=0)  # [T, B]
 
     # -- slot -> window permutation -----------------------------------------
     # Iteration i produced window index  o-1-i  (backward phase, i < o)
@@ -227,23 +246,98 @@ def static_nuts_step(
     # node (a, b) with a < b (window/time order) turns iff
     #   vel_a·(θ_b-θ_a) = Gw[a,b]-Gw[a,a] < 0   or
     #   vel_b·(θ_b-θ_a) = Gw[b,b]-Gw[b,a] < 0.
-    G = jnp.einsum("ibd,jbd->bij", vel_all, pos_all)  # [B, T, T]
-    G = jnp.take_along_axis(G, perm[:, :, None], axis=1)
-    Gw = jnp.take_along_axis(G, perm[:, None, :], axis=2)
+    #
+    # The window permutation is applied with one-hot *matmuls*, not
+    # per-chain gathers: TPU-measured, the take_along_axis form cost ~3 ms
+    # per transition at B=10k and its gathers refused to materialize (each
+    # downstream static slice re-ran them).  One-hot arithmetic is safe
+    # here only because G is sanitized first — rows/columns of post-
+    # divergence leaves can be ±Inf/NaN, and 0·NaN would otherwise poison
+    # every entry.  Sanitizing to 0 leaves those nodes' turned flags False,
+    # exactly like the NaN comparisons they replace, and such nodes are
+    # never decisive: a bad leaf always precedes its node's completion leaf
+    # in travel order, so the first-failure mask stops before the flag.
+    G = jnp.einsum("bid,bjd->bij", vel_all, pos_all)  # [B, T, T]
+    G = jnp.where(jnp.isfinite(G), G, 0.0)
+    P = (perm[:, :, None] == jnp.arange(T, dtype=jnp.int32)[None, None, :]).astype(
+        dtype
+    )  # [B, window, slot] one-hot
+    Gw = jnp.einsum("bvu,bwu->bwv", P, jnp.einsum("bwt,btu->bwu", P, G))
+    # Materialize once: every dyadic-node check below slices this array.
+    Gw = jax.lax.optimization_barrier(Gw)
     joint_w = jnp.take_along_axis(joint_all.T, perm, axis=1)  # [B, T]
 
-    bidx = jnp.arange(B)
+    # -- static dyadic U-turn nodes (window coordinates) --------------------
+    # Level k (block size 2^k, k = 1..J) dyadic interval [m·2^k,
+    # (m+1)·2^k − 1] turned flags: plain static slices of Gw — no gathers.
+    def turned_static(a: int, b: int):  # python ints, window order a < b
+        return (Gw[:, a, b] - Gw[:, a, a] < 0.0) | (
+            Gw[:, b, b] - Gw[:, b, a] < 0.0
+        )
 
-    def gw(a, b):  # [B] lookups into Gw
-        return Gw[bidx, a, b]
+    tb_lvl = {
+        k: jnp.where(
+            jnp.stack(
+                [
+                    turned_static(m * (1 << k), m * (1 << k) + (1 << k) - 1)
+                    for m in range(T >> k)
+                ],
+                axis=1,
+            ),
+            one,
+            jnp.zeros((), dtype),
+        )  # [B, T >> k] {0,1} f32
+        for k in range(1, J + 1)
+    }
 
-    def turned_pair(wa, wb):  # wa < wb elementwise (window order)
-        return (gw(wa, wb) - gw(wa, wa) < 0.0) | (gw(wb, wb) - gw(wb, wa) < 0.0)
-
-    # -- retrospective doubling loop ([B]-sized ops, unrolled over j) -------
+    # -- static per-leaf quantities [B, T] ----------------------------------
+    # All masks are {0,1} floats and every within-block cumulative / row
+    # reduction below is a dot against a small static matrix: TPU-measured,
+    # jnp.cumsum on [B, T/L, L] lowers to reduce-window at ~2.7 ms per call
+    # and bool any/sum rows to multi-ms reduce fusions (~45 ms/transition
+    # total at B=10k); the same math as [B,T]@[T,T] / [B,T]@[T,1] MXU dots
+    # is ~100× cheaper.  Where-selects (not mask multiplication) guard
+    # every contact with joint-derived values, which can be NaN.
     delta = jnp.asarray(DELTA_MAX, dtype)
-    lo = offset
-    hi = offset
+    zero = jnp.zeros((), dtype)
+    Wv = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+    Wf = jnp.arange(T, dtype=dtype)[None, :]  # [1, T] f32
+    ones_col = jnp.ones((T, 1), dtype)
+
+    def rowsum(x):  # [B, T] f32 -> [B] via MXU matvec
+        return jax.lax.dot_general(
+            x, ones_col, (((1,), (0,)), ((), ()))
+        )[:, 0]
+
+    def rowsum_k(x, k):  # [B, T >> k] f32 -> [B]
+        return jax.lax.dot_general(
+            x, jnp.ones((T >> k, 1), dtype), (((1,), (0,)), ((), ()))
+        )[:, 0]
+
+    bad_f = jnp.where((logu[:, None] - delta) < joint_w, zero, one)
+    valid_f = jnp.where(logu[:, None] < joint_w, one, zero)
+    a_w = jnp.minimum(one, jnp.exp(joint_w - joint0[:, None]))
+
+    # Block-triangular cumulation matrices, one pair per level: forward
+    # (travel = ascending window) and reverse, restricted to size-L blocks.
+    _idx = _np.arange(T)
+    _tri = {}
+    for j in range(J):
+        L = 1 << j
+        same = (_idx[:, None] >> j) == (_idx[None, :] >> j)
+        _tri[j] = (
+            jnp.asarray((same & (_idx[:, None] <= _idx[None, :])), dtype),
+            jnp.asarray((same & (_idx[:, None] >= _idx[None, :])), dtype),
+        )
+
+    # Node-failure masks: a level-k node's turned bit, placed at the leaf
+    # whose evaluation completes it in travel order (its window-max leaf
+    # when travelling forward, window-min when backward).  Built up level
+    # by level so that doubling j only ever sees node levels 1..j.
+    nf_plus = jnp.zeros((B, T), dtype)
+    nf_minus = jnp.zeros((B, T), dtype)
+
+    # -- retrospective doubling loop (all [B, T]-sized ops) -----------------
     n = jnp.ones((B,), jnp.int32)
     s = jnp.ones((B,), bool)
     prop_w = offset
@@ -255,67 +349,76 @@ def static_nuts_step(
 
     for j in range(J):
         L = 1 << j
+        if j >= 1:
+            lvl = jnp.repeat(tb_lvl[j], L, axis=1)  # [B, T], static repeat
+            is_last = jnp.asarray((_idx % L) == (L - 1), dtype)[None, :]
+            is_first = jnp.asarray((_idx % L) == 0, dtype)[None, :]
+            nf_plus = jnp.maximum(nf_plus, lvl * is_last)
+            nf_minus = jnp.maximum(nf_minus, lvl * is_first)
+
         executed = s
         v_neg = ((offset >> j) & 1) == 1  # direction of doubling j
-        t = jnp.arange(L, dtype=jnp.int32)[None, :]
-        # members in travel order; window index per leaf  [B, L]
-        w_m = jnp.where(v_neg[:, None], lo[:, None] - 1 - t, hi[:, None] + 1 + t)
+        vcol = v_neg[:, None]
+        # active sibling block: the size-L dyadic block adjacent to the
+        # current window (= the level-j block containing the initial leaf,
+        # with its last index bit flipped)
+        active = jnp.where(
+            (Wv >> j) == ((offset >> j) ^ 1)[:, None], one, zero
+        )  # [B, T] {0,1}
 
-        joint_t = jnp.take_along_axis(joint_w, w_m, axis=1)  # [B, L]
-        ok_t = (logu[:, None] - delta) < joint_t
-        valid_t = logu[:, None] < joint_t
+        # first-failure prefix within every block, both travel orientations
+        fail_p = jnp.maximum(bad_f, nf_plus)
+        fail_m = jnp.maximum(bad_f, nf_minus)
+        cs_p = fail_p @ _tri[j][0]
+        cs_m = fail_m @ _tri[j][1]
+        ev_p = jnp.where(cs_p - fail_p < 0.5, one, zero)
+        ev_m = jnp.where(cs_m - fail_m < 0.5, one, zero)
+        ev = jnp.where(vcol, ev_m, ev_p) * active  # evaluated leaves [B, T]
+        ff = ev * jnp.where(vcol, fail_m, fail_p)  # the first failing leaf
 
-        # within-subtree U-turn checks at odd travel leaves
-        turned_t = jnp.zeros((B, L), bool)
-        for (ta, tb) in uturn_nodes(j):
-            wa = w_m[:, ta]
-            wb = w_m[:, tb]
-            lo_n = jnp.minimum(wa, wb)
-            hi_n = jnp.maximum(wa, wb)
-            turned_t = turned_t.at[:, tb].set(
-                turned_t[:, tb] | turned_pair(lo_n, hi_n)
-            )
-
-        fail_t = ~ok_t | turned_t
-        any_fail = jnp.any(fail_t, axis=1)
-        t_fail = jnp.argmax(fail_t, axis=1).astype(jnp.int32)
-        t_last = jnp.where(any_fail, t_fail, L - 1)
-        evaluated = t <= t_last[:, None]
-
-        # dual-averaging statistics over evaluated leaves (early exit at
-        # the first failing leaf, like the dynamic builder)
-        a_t = jnp.minimum(one, jnp.exp(joint_t - joint0[:, None]))
-        alpha_j = jnp.sum(jnp.where(evaluated, a_t, 0.0), axis=1)
-        n_alpha_j = t_last + 1
+        any_fail = rowsum(ff) > 0.5
         s_sub = ~any_fail
-        n_sub = jnp.sum(jnp.where(evaluated, valid_t.astype(jnp.int32), 0), axis=1)
+        # dual-averaging statistics over evaluated leaves (early exit at
+        # the first failing leaf, like the dynamic builder); a_w can be
+        # NaN at the failing leaf — where-select, then sum
+        alpha_j = rowsum(jnp.where(ev > 0.5, a_w, zero))
+        n_alpha_j = rowsum(ev).astype(jnp.int32)
+        n_sub_f = rowsum(ev * valid_f)
+        n_sub = n_sub_f.astype(jnp.int32)
+        div_j = rowsum(ff * bad_f) > 0.5
 
-        # uniform proposal among slice-valid leaves (== reservoir law)
+        # uniform proposal among slice-valid leaves (== reservoir law):
+        # the first n_sub valid leaves in travel order are exactly the
+        # valid evaluated ones, so an unmasked travel cumsum suffices
         k_idx = jnp.minimum(
-            (u_sel[:, j] * n_sub.astype(dtype)).astype(jnp.int32),
+            (u_sel[:, j] * n_sub_f).astype(jnp.int32),
             jnp.maximum(n_sub - 1, 0),
         )
-        cum = jnp.cumsum(valid_t.astype(jnp.int32), axis=1)
-        pick = valid_t & (cum == (k_idx + 1)[:, None])
-        t_pick = jnp.argmax(pick, axis=1).astype(jnp.int32)
-        w_pick = jnp.take_along_axis(w_m, t_pick[:, None], axis=1)[:, 0]
+        cum = jnp.where(vcol, valid_f @ _tri[j][1], valid_f @ _tri[j][0])
+        k1 = (k_idx + 1).astype(dtype)[:, None]
+        pick = valid_f * active * jnp.where(jnp.abs(cum - k1) < 0.5, one, zero)
+        w_pick = rowsum(pick * Wf).astype(jnp.int32)
 
         # across-doubling swap w.p. min(1, n'/n)
-        take = s_sub & (u_swap[:, j] * n.astype(dtype) < n_sub.astype(dtype))
+        take = s_sub & (u_swap[:, j] * n.astype(dtype) < n_sub_f)
         prop_w = jnp.where(executed & take, w_pick, prop_w)
 
-        lo_new = jnp.where(v_neg, lo - L, lo)
-        hi_new = jnp.where(v_neg, hi, hi + L)
-        s_new = s_sub & ~turned_pair(lo_new, hi_new)
+        # global U-turn across the merged window = the level-(j+1) dyadic
+        # block containing the initial leaf (one-hot select, no gather)
+        gsel = jnp.where(
+            jnp.arange(T >> (j + 1), dtype=jnp.int32)[None, :]
+            == (offset >> (j + 1))[:, None],
+            one,
+            zero,
+        )
+        g_turn = rowsum_k(gsel * tb_lvl[j + 1], j + 1) > 0.5
+        s_new = s_sub & ~g_turn
 
-        not_ok_at_fail = jnp.take_along_axis(~ok_t, t_fail[:, None], axis=1)[:, 0]
-        diverged = diverged | (executed & any_fail & not_ok_at_fail)
+        diverged = diverged | (executed & div_j)
         n = jnp.where(executed, n + n_sub, n)
         alpha_last = jnp.where(executed, alpha_j, alpha_last)
         n_alpha_last = jnp.where(executed, n_alpha_j, n_alpha_last)
         depth = depth + executed.astype(jnp.int32)
-        lo = jnp.where(executed, lo_new, lo)
-        hi = jnp.where(executed, hi_new, hi)
         s = executed & s_new
 
     # -- materialize the accepted proposal ----------------------------------
@@ -323,11 +426,13 @@ def static_nuts_step(
     # past a divergence can hold ±Inf/NaN, and Inf·0 = NaN would poison the
     # sum (observed: the first warmup mass-window's transient large-ε phase
     # overflowed unselected leaves and NaN'd the whole batch).
-    slot_pick = perm[bidx, prop_w]  # [B]
+    slot_pick = rowsum(
+        jnp.where(Wv == prop_w[:, None], one, zero) * perm.astype(dtype)
+    ).astype(jnp.int32)  # [B] — one-hot, not perm[arange(B), prop_w] (gather)
     onehot = (
-        jnp.arange(T, dtype=jnp.int32)[:, None] == slot_pick[None, :]
-    )[:, :, None]  # [T, B, 1] bool
-    pos_new = jnp.sum(jnp.where(onehot, pos_all, 0.0), axis=0)
+        jnp.arange(T, dtype=jnp.int32)[None, :] == slot_pick[:, None]
+    )[:, :, None]  # [B, T, 1] bool
+    pos_new = jnp.sum(jnp.where(onehot, pos_all, 0.0), axis=1)
     # Re-derive (lp, grad) once per transition, matching the dynamic
     # backend's carry-slimming contract (ops/tree.py nuts_tree_step tail).
     lp_new, grad_new = vg_b(pos_new)
