@@ -217,6 +217,7 @@ class NUTS(BatchSampler):
             raise ValueError(f"unknown adaptation {cfg.adaptation!r}")
         self.mass_config = cfg
         self._dense = cfg.adaptation == "dense"
+        self._find_eps_jit = None  # lazily-built jitted ε₀ search (_init_carry)
         if backend not in ("xla", "pallas", "pallas2", "static"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas2":  # alias kept from the two-kernel era
@@ -294,12 +295,18 @@ class NUTS(BatchSampler):
             eps0 = jnp.full((n,), self.step_size, dtype)
         else:
             init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2**31 - 1))(keys)
+            # Jitted + cached on the sampler: run eagerly, the vmapped
+            # double-while dispatch re-traces (and can re-compile) on EVERY
+            # run — TPU-profiled at ~0.9 s of a 10.4 s benchmark reap per
+            # repetition.  The cached version costs one compile total.
+            if self._find_eps_jit is None:
 
-            def find_eps(k, x, m):
-                mom = sample_momentum(k, m, self._dense)
-                return find_reasonable_epsilon(self._vg, x, mom, m, self._dense)
+                def find_eps(k, x, m):
+                    mom = sample_momentum(k, m, self._dense)
+                    return find_reasonable_epsilon(self._vg, x, mom, m, self._dense)
 
-            eps0 = jax.vmap(find_eps)(init_keys, x0, mass)
+                self._find_eps_jit = jax.jit(jax.vmap(find_eps))
+            eps0 = self._find_eps_jit(init_keys, x0, mass)
         mu = jnp.log(10.0 * eps0)
         welford = _Welford(
             count=jnp.zeros((n,), jnp.int32),
