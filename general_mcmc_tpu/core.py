@@ -93,7 +93,33 @@ def _run_compiled(step_fn, carry, n_collect: int, n_discard: int, offset: int,
     carry, samples = _scan_steps(
         step_fn, carry, offset + n_discard, n_collect, collect=True, thin=thin
     )
+    samples = _constrain_row_major(samples)
     return carry, samples
+
+
+def _constrain_row_major(samples):
+    """Pin the collected-samples buffer to row-major [steps, chains, dim].
+
+    Left to itself the TPU compiler picks a dim-MAJOR layout for the scan
+    output ({1,0,2}: chains on lanes, steps on sublanes), which turns every
+    per-step store into ~dim strided plane writes — profiled at 218 µs per
+    4.1 MB slice (~8× write amplification) on the benchmark shapes.  Row-
+    major makes the store one contiguous write.  CPU (tests, goldens) is
+    left alone."""
+    if (
+        jax.default_backend() == "cpu"
+        or not isinstance(samples, jax.Array)
+        or samples.size == 0
+        or jnp.issubdtype(samples.dtype, jax.dtypes.prng_key)
+    ):
+        # PRNG key arrays carry a hidden trailing dim — ndim lies about the
+        # physical rank, so a layout constraint on them fails verification.
+        return samples
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    return with_layout_constraint(
+        samples, Layout(major_to_minor=tuple(range(samples.ndim)))
+    )
 
 
 def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
@@ -110,9 +136,20 @@ def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
     a carry to the [n_chains, dim] state snapshot to record.  ``step_offset``
     shifts the step indices — resumed runs use it so per-step RNG streams
     never replay the original segment's.
+
+    Burn-in and collection are dispatched as TWO compiled programs (one
+    host round-trip, ~1 ms): TPU-profiled, the two-scans-in-one-program
+    form makes the compiler schedule the collection body ~15% slower per
+    step (+0.36 ms on the benchmark shapes, ~1 s per default run) than the
+    identical body compiled alone.  Trajectories are unchanged — the RNG
+    is position-indexed, so splitting is invisible to sampling semantics.
     """
     if thin < 1:
         raise ValueError(f"thin must be >= 1, got {thin}")
+    if n_discard > 0 and n_collect > 0:
+        carry, _ = _run_compiled(step_fn, carry, 0, n_discard, step_offset, 1)
+        step_offset += n_discard
+        n_discard = 0
     carry, samples = _run_compiled(
         step_fn, carry, n_collect, n_discard, step_offset, thin
     )

@@ -257,7 +257,26 @@ def static_nuts_step(
     # exactly like the NaN comparisons they replace, and such nodes are
     # never decisive: a bad leaf always precedes its node's completion leaf
     # in travel order, so the first-failure mask stops before the flag.
-    G = jnp.einsum("bid,bjd->bij", vel_all, pos_all)  # [B, T, T]
+    if dtype == jnp.float32 and jax.default_backend() != "cpu":
+        # TPU: the default-precision f32 dot converts its operands to bf16
+        # anyway, but left implicit XLA assembles the bf16 copies leaf-by-
+        # leaf inside the integration loop — 15 strided dynamic-update-
+        # slice fusions in matmul layout, ~0.66 ms/transition profiled.
+        # Casting the leaves explicitly and barriering the stacks forces
+        # two contiguous bf16 concats instead.  Bit-identical Gram on TPU
+        # (same bf16 operands, f32 accumulate); CPU keeps the true-f32
+        # einsum below, which the oracle tests pin.
+        vel_bf = jax.lax.optimization_barrier(
+            jnp.stack([v.astype(jnp.bfloat16) for v in vel_l]
+                      + [vel0.astype(jnp.bfloat16)], axis=1)
+        )
+        pos_bf = jax.lax.optimization_barrier(pos_all.astype(jnp.bfloat16))
+        G = jnp.einsum(
+            "bid,bjd->bij", vel_bf, pos_bf,
+            preferred_element_type=jnp.float32,
+        )  # [B, T, T]
+    else:
+        G = jnp.einsum("bid,bjd->bij", vel_all, pos_all)  # [B, T, T]
     G = jnp.where(jnp.isfinite(G), G, 0.0)
     P_bool = (
         perm[:, :, None] == jnp.arange(T, dtype=jnp.int32)[None, None, :]
