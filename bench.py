@@ -72,10 +72,15 @@ N_WARMUP = int(os.environ.get("GMT_BENCH_WARMUP", 192))
 # 665k→1.14M min-ESS/s.  Cap 3 clips hard (min-ESS 7.8M→4.6M); see
 # docs/BENCH_HISTORY.md round-2 sweep.
 MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
-# NUTS backend: "xla" (default) | "pallas" (fused kernel; GMT_BENCH_BLOCK
-# chains/kernel block, GMT_BENCH_VMEM MB) | "static" (static-window
-# schedule, ops/static_tree.py — needs MAX_TREE_DEPTH <= 8).
-BACKEND = os.environ.get("GMT_BENCH_BACKEND", "xla")
+# NUTS backend: "static" (default: static-window schedule,
+# ops/static_tree.py — same transition law as the dynamic tree,
+# oracle-verified, 1.28x its end-to-end min-ESS/s at the cap-4 headline
+# config; needs MAX_TREE_DEPTH <= 8) | "xla" (dynamic tree — use for
+# deep caps) | "pallas" (fused kernel; GMT_BENCH_BLOCK chains/kernel
+# block, GMT_BENCH_VMEM MB).
+BACKEND = os.environ.get(
+    "GMT_BENCH_BACKEND", "static" if MAX_TREE_DEPTH <= 8 else "xla"
+)
 # Acceptance-target sweep (0.65…0.95, R-hat gated): broad optimum at
 # 0.89–0.91 — under the depth-4 cap the leapfrog cost stays ~flat while
 # ESS/chain/step climbs to 1.37 (antithetic NUTS draws); 0.65 halves ESS,
