@@ -158,7 +158,7 @@ def build_sampler():
         # batch max under vmap; capping warmup depth bounds that waste
         # without touching sampling quality (min-ESS and R-hat identical
         # at caps 8/6/5/4 — see docs/BENCH_HISTORY.md).
-        warmup_tree_depth=4,
+        warmup_tree_depth=int(os.environ.get("GMT_BENCH_WARMUP_DEPTH", 4)),
         seed=SEED,
         backend=BACKEND,
         # GMT_BENCH_CKPT_BF16=1: bf16 checkpoint stacks (U-turn sign tests

@@ -68,7 +68,9 @@ samplers/nuts.py):
   where dynamic trees are ~84% saturated anyway); for max_depth ≥ ~6 the
   always-full window wastes compute and the dynamic tree wins.
 
-Diagonal / identity mass only (like the fused Pallas backend).
+Identity, diagonal, and dense mass matrices are supported (``dense=True``
+switches the velocity maps to per-chain batched matvecs; the Gram and the
+retro phase are mass-agnostic).
 """
 
 from __future__ import annotations
@@ -126,6 +128,7 @@ def static_nuts_step(
     vg_fn: Callable,
     max_depth: int,
     *,
+    dense: bool = False,
     unroll: int | None = None,
     randoms: dict | None = None,
 ) -> StaticStepResult:
@@ -136,8 +139,12 @@ def static_nuts_step(
     keys : [B] PRNG keys (one per chain, already stepped for this
         transition).
     pos, grad : [B, d];  lp, eps : [B]
-    mass_inv, mass_scale : [B, d] diagonal M⁻¹ and momentum scale
-        (sqrt M); pass ones for identity mass.
+    mass_inv, mass_scale : diagonal M⁻¹ and momentum scale (sqrt M) as
+        [B, d] when ``dense`` is False (pass ones for identity mass); with
+        ``dense=True``, [B, d, d] dense M⁻¹ and its momentum-scale
+        Cholesky factor (chol M) — velocity maps become well-shaped
+        batched matvecs, everything downstream of the leaf velocities
+        (Gram, retro phase) is mass-agnostic.
     vg_fn : per-chain ``value_and_grad`` of the target log density
         (vmapped internally).
     max_depth : static doubling cap J ≥ 1; the window holds 2^J leaves.
@@ -157,11 +164,26 @@ def static_nuts_step(
     one = jnp.asarray(1.0, dtype)
     vg_b = jax.vmap(vg_fn)
 
+    if dense:
+        # Per-chain [d, d] matvec, matching the dynamic backend's
+        # inv_mass_mul (mass.inv @ p under vmap) operation order exactly.
+        def inv_mul(m):
+            return jnp.einsum("bij,bj->bi", mass_inv, m)
+
+        def scale_mul(z):
+            return jnp.einsum("bij,bj->bi", mass_scale, z)
+    else:
+        def inv_mul(m):
+            return mass_inv * m
+
+        def scale_mul(z):
+            return mass_scale * z
+
     # -- per-chain randoms (all exogenous: drawn up front) ------------------
     if randoms is None:
         ks = _split_batch(keys, 5)
         z = jax.vmap(lambda k: jax.random.normal(k, (d,), dtype))(ks[:, 0])
-        mom0 = mass_scale * z
+        mom0 = scale_mul(z)
         expo = jax.vmap(lambda k: jax.random.exponential(k, (), dtype))(ks[:, 1])
         offset = jax.vmap(
             lambda k: jax.random.randint(k, (), 0, T, jnp.int32)
@@ -175,7 +197,7 @@ def static_nuts_step(
         u_sel = jnp.asarray(randoms["u_sel"], dtype)
         u_swap = jnp.asarray(randoms["u_swap"], dtype)
 
-    vel0 = mass_inv * mom0
+    vel0 = inv_mul(mom0)
     joint0 = lp - 0.5 * jnp.sum(mom0 * vel0, axis=-1)
     logu = joint0 - expo
 
@@ -209,12 +231,12 @@ def static_nuts_step(
         g0 = jnp.where(sel, gb, gf)
         half = 0.5 * e
         m1 = m0 + g0 * half
-        p1 = p0 + mass_inv * m1 * e
+        p1 = p0 + inv_mul(m1) * e
         lp1, g1 = vg_b(p1)
         lp1 = lp1.astype(dtype)
         g1 = g1.astype(dtype)
         m1 = m1 + g1 * half
-        vel1 = mass_inv * m1
+        vel1 = inv_mul(m1)
         joint1 = lp1 - 0.5 * jnp.sum(m1 * vel1, axis=-1)
         pb = jnp.where(sel, p1, pb)
         mb = jnp.where(sel, m1, mb)

@@ -170,9 +170,10 @@ class NUTS(BatchSampler):
         slim fixed-length scan, tree logic evaluated retrospectively from
         a Gram matrix — fastest at small depth caps where trees are
         near-saturated; wasteful at large caps).  The fused backend is
-        TPU only; fused and static are identity/diagonal mass only, and
-        the static backend's RNG stream differs from the xla tree's
-        (identical transition law; see the ops/static_tree.py contract).
+        TPU only and identity/diagonal mass only; the static backend
+        supports dense mass too, and its RNG stream differs from the xla
+        tree's (identical transition law; see the ops/static_tree.py
+        contract).
     pallas_options : optional dict of fused-kernel tuning knobs:
         ``block_chains`` (chains per kernel block) and ``vmem_limit_mb``
         (Mosaic scoped-VMEM budget).
@@ -222,9 +223,9 @@ class NUTS(BatchSampler):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas2":  # alias kept from the two-kernel era
             backend = "pallas"
-        if backend in ("pallas", "static") and self._dense:
+        if backend == "pallas" and self._dense:
             raise ValueError(
-                f"the {backend} backend supports identity/diagonal mass only"
+                "the pallas backend supports identity/diagonal mass only"
             )
         if backend == "static" and max(
             self.max_tree_depth, self.warmup_tree_depth
@@ -402,6 +403,7 @@ class NUTS(BatchSampler):
                     carry["mass"].scale,
                     self._vg,
                     depth,
+                    dense=self._dense,
                 )
                 return TreeStepResult(
                     pos=r.pos, lp=r.lp, grad=r.grad, alpha=r.alpha,

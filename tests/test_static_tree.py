@@ -316,7 +316,94 @@ def test_static_backend_guards():
     with pytest.raises(ValueError, match="static"):
         NUTS(t, init_with_seed(4, 2, 0), backend="static")  # depth 10 default
     with pytest.raises(ValueError, match="diagonal"):
-        NUTS(
-            t, init_with_seed(4, 2, 0), backend="static", max_tree_depth=4,
+        NUTS(  # pallas stays diag-only; static supports dense (test below)
+            t, init_with_seed(4, 2, 0), backend="pallas", max_tree_depth=4,
             mass_config=NUTSMassMatrixConfig(adaptation="dense", dense_max_dim=8),
         )
+
+
+def test_static_dense_mass_matches_dynamic_law():
+    """Dense mass through the static schedule: same transition law as the
+    dynamic tree with the same dense metric (correlated Gaussian, true
+    covariance as M⁻¹, fixed ε)."""
+    d, B, steps, J = 4, 256, 250, 3
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((d, d)).astype(np.float32)
+    cov = (A @ A.T + d * np.eye(d, dtype=np.float32)).astype(np.float32)
+    cov_j = jnp.asarray(cov)
+    prec = np.linalg.inv(cov).astype(np.float32)
+    chol_m = np.linalg.cholesky(prec).astype(np.float32)  # chol(M), M = Σ⁻¹
+
+    def logp(x):
+        return -0.5 * x @ jnp.asarray(prec) @ x
+
+    vg = jax.value_and_grad(logp)
+    eps = jnp.full((B,), 0.9, jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32)
+                      @ np.linalg.cholesky(cov).T.astype(np.float32))
+    lp, grad = jax.vmap(vg)(pos)
+    lp, grad = lp.astype(jnp.float32), grad.astype(jnp.float32)
+    inv_b = jnp.broadcast_to(cov_j, (B, d, d))
+    scale_b = jnp.broadcast_to(jnp.asarray(chol_m), (B, d, d))
+
+    def step_static(keys, pos, lp, grad):
+        return static_nuts_step(
+            keys, pos, lp, grad, eps, inv_b, scale_b, vg, J, dense=True
+        )
+
+    mass1 = MassMatrix(inv=cov_j, scale=jnp.asarray(chol_m))
+
+    def step_dyn(keys, pos, lp, grad):
+        return jax.vmap(
+            lambda k, p, l, g: nuts_tree_step(
+                k, p, l, g, eps[0], mass1, True, vg, J
+            )
+        )(keys, pos, lp, grad)
+
+    s_s, a_s, d_s = _run_chain_stats(step_static, pos, lp, grad, steps,
+                                     jax.random.PRNGKey(3))
+    s_d, a_d, d_d = _run_chain_stats(step_dyn, pos, lp, grad, steps,
+                                     jax.random.PRNGKey(4))
+    flat_s = s_s.reshape(-1, d)
+    flat_d = s_d.reshape(-1, d)
+    np.testing.assert_allclose(flat_s.std(0), np.sqrt(np.diag(cov)), rtol=0.06)
+    np.testing.assert_allclose(flat_s.std(0), flat_d.std(0), rtol=0.06)
+    # correlation structure reproduced
+    np.testing.assert_allclose(
+        np.corrcoef(flat_s.T), np.corrcoef(flat_d.T), atol=0.05
+    )
+    assert abs(a_s.mean() - a_d.mean()) < 0.03
+    assert abs(d_s.mean() - d_d.mean()) < 0.2
+
+
+def test_static_backend_dense_adaptation_end_to_end():
+    """Full dense-mass warmup (Welford dense windows, jittered Cholesky)
+    through backend='static' on a correlated target."""
+    from general_mcmc_tpu import NUTS, GaussianND, NUTSMassMatrixConfig, init_with_seed
+    from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+
+    cov = jnp.asarray(
+        [[2.0, 1.2, 0.0], [1.2, 1.5, 0.4], [0.0, 0.4, 1.0]], jnp.float32
+    )
+    t = GaussianND(mean=jnp.zeros(3, jnp.float32), cov=cov)
+    s = NUTS(
+        t,
+        init_with_seed(64, 3, 2),
+        mass_config=NUTSMassMatrixConfig(adaptation="dense", dense_max_dim=8),
+        max_tree_depth=4,
+        target_accept_p=0.85,
+        seed=2,
+        backend="static",
+    )
+    out = np.asarray(s.run(300, 200))
+    assert out.shape == (64, 300, 3)
+    flat = out.reshape(-1, 3)
+    np.testing.assert_allclose(
+        flat.std(axis=0), np.sqrt(np.diag(np.asarray(cov))), rtol=0.12
+    )
+    np.testing.assert_allclose(
+        np.corrcoef(flat.T), np.asarray(cov / jnp.sqrt(
+            jnp.outer(jnp.diag(cov), jnp.diag(cov)))), atol=0.08
+    )
+    rhat, _ = split_rhat_mean_ess(jnp.asarray(out))
+    assert np.asarray(rhat).max() < 1.05
