@@ -78,8 +78,10 @@ MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
 # config; needs MAX_TREE_DEPTH <= 8) | "xla" (dynamic tree — use for
 # deep caps) | "pallas" (fused kernel; GMT_BENCH_BLOCK chains/kernel
 # block, GMT_BENCH_VMEM MB).
+_WARMUP_DEPTH = int(os.environ.get("GMT_BENCH_WARMUP_DEPTH", 4))
 BACKEND = os.environ.get(
-    "GMT_BENCH_BACKEND", "static" if MAX_TREE_DEPTH <= 8 else "xla"
+    "GMT_BENCH_BACKEND",
+    "static" if max(MAX_TREE_DEPTH, _WARMUP_DEPTH) <= 8 else "xla",
 )
 # Acceptance-target sweep (0.65…0.95, R-hat gated): broad optimum at
 # 0.89–0.91 — under the depth-4 cap the leapfrog cost stays ~flat while
@@ -89,6 +91,12 @@ TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.90))
 SEED = 0
 # Total wall-clock budget; measured attempts stop (and retries are skipped)
 # once it is spent.  The driver's observed window is ~30 min — leave slack.
+# Note: run_kernel dispatches burn-in and collection as TWO programs on
+# TPU (core.py — the one-program form schedules the collection body ~15%
+# slower), so a fully-cold first run pays two remote compiles; the first
+# [incl. compile] JSON line is emitted as soon as they complete, and the
+# tunnel compile wall has been observed from 28 s up to ~17 min for one
+# program — the budget covers the typical case, not the worst pair.
 BUDGET_S = float(os.environ.get("GMT_BENCH_BUDGET_S", 1500))
 _T_START = time.perf_counter()
 
@@ -158,7 +166,7 @@ def build_sampler():
         # batch max under vmap; capping warmup depth bounds that waste
         # without touching sampling quality (min-ESS and R-hat identical
         # at caps 8/6/5/4 — see docs/BENCH_HISTORY.md).
-        warmup_tree_depth=int(os.environ.get("GMT_BENCH_WARMUP_DEPTH", 4)),
+        warmup_tree_depth=_WARMUP_DEPTH,
         seed=SEED,
         backend=BACKEND,
         # GMT_BENCH_CKPT_BF16=1: bf16 checkpoint stacks (U-turn sign tests

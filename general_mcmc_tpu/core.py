@@ -146,7 +146,9 @@ def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
     """
     if thin < 1:
         raise ValueError(f"thin must be >= 1, got {thin}")
-    if n_discard > 0 and n_collect > 0:
+    if n_discard > 0 and n_collect > 0 and jax.default_backend() != "cpu":
+        # TPU only: on CPU the scheduling pathology doesn't exist and the
+        # split would just double every test's compile count.
         carry, _ = _run_compiled(step_fn, carry, 0, n_discard, step_offset, 1)
         step_offset += n_discard
         n_discard = 0

@@ -22,15 +22,15 @@ different execution schedule, motivated by round-3 hardware measurements
 
 Schedule (J = max_depth, T = 2^J leaves):
 
-1. **Integration phase** — T−1 leapfrogs in a fixed-length ``lax.scan``
-   with a slim carry: two frontiers (backward / forward), 6 [B, d]
-   buffers total, no tree bookkeeping.  Iteration ``i`` advances the
-   backward frontier while ``i < o`` (step size −ε) and the forward
-   frontier after (+ε) — exactly one gradient evaluation per chain per
-   iteration, no masked idle lanes.  Positions, mass-weighted velocities
-   and joint log-densities of every leaf are stacked ([T, B, d] / [T, B]).
-   With −ε integration the stored momenta are physical forward-time
-   momenta, so window order is time order.
+1. **Integration phase** — T−1 leapfrogs, fully unrolled (the window is
+   short by design), with a slim carry: two frontiers (backward /
+   forward), 6 [B, d] buffers total, no tree bookkeeping.  Iteration
+   ``i`` advances the backward frontier while ``i < o`` (step size −ε)
+   and the forward frontier after (+ε) — exactly one gradient evaluation
+   per chain per iteration, no masked idle lanes.  Positions,
+   mass-weighted velocities and joint log-densities of every leaf are
+   stacked ([B, T, d] / [T, B]).  With −ε integration the stored momenta
+   are physical forward-time momenta, so window order is time order.
 2. **Retrospective tree phase** — cheap batched tensor ops:
    a Gram matrix ``G[b, i, j] = vel_i · θ_j`` (one read of the stacks)
    turns every U-turn check — within-subtree balanced nodes *and* the
@@ -129,7 +129,6 @@ def static_nuts_step(
     max_depth: int,
     *,
     dense: bool = False,
-    unroll: int | None = None,
     randoms: dict | None = None,
 ) -> StaticStepResult:
     """One NUTS transition for the whole chain batch.
@@ -148,8 +147,6 @@ def static_nuts_step(
     vg_fn : per-chain ``value_and_grad`` of the target log density
         (vmapped internally).
     max_depth : static doubling cap J ≥ 1; the window holds 2^J leaves.
-    unroll : scan unroll factor for the integration phase (default: full
-        unroll — the window is short by design).
     randoms : optional dict overriding the per-chain draws (oracle
         testing): ``mom0`` [B, d] momenta, ``expo`` [B] Exp(1) slice
         draws, ``offset`` [B] int window offsets, ``u_sel``/``u_swap``
@@ -214,9 +211,7 @@ def static_nuts_step(
     # stacked [T, B, d] outputs need a 655 MB-per-stack relayout before the
     # Gram, and per-iteration dynamic_update_slice writes into a [B, T, d]
     # scan carry cost ~0.17 ms each (~5 ms per transition) against ~0.02 ms
-    # of raw bytes.  ``unroll`` is accepted for API compatibility but the
-    # loop is always fully unrolled.
-    del unroll
+    # of raw bytes.
     pb = pf = pos
     mb = mf = mom0
     gb = gf = grad
@@ -285,9 +280,17 @@ def static_nuts_step(
         # leaf inside the integration loop — 15 strided dynamic-update-
         # slice fusions in matmul layout, ~0.66 ms/transition profiled.
         # Casting the leaves explicitly and barriering the stacks forces
-        # two contiguous bf16 concats instead.  Bit-identical Gram on TPU
-        # (same bf16 operands, f32 accumulate); CPU keeps the true-f32
-        # einsum below, which the oracle tests pin.
+        # two contiguous bf16 concats instead.  The Gram itself is
+        # unchanged on TPU (same bf16 operands, f32 accumulate as the
+        # implicit default-precision dot); CPU keeps the true-f32 einsum
+        # below, which the oracle tests pin.  NOTE on precision: on TPU
+        # the U-turn dot products — here AND in the dynamic backend's
+        # jnp.dot(p, vel) — run at default matmul precision (bf16
+        # multiplicands), and the one-hot permute below re-rounds Gw
+        # entries to bf16 once more.  The U-turn rule stays a
+        # deterministic, symmetric function of the trajectory, so the
+        # sampler remains exactly valid; borderline turned flags can
+        # differ from the f32 CPU path (documented deviation).
         vel_bf = jax.lax.optimization_barrier(
             jnp.stack([v.astype(jnp.bfloat16) for v in vel_l]
                       + [vel0.astype(jnp.bfloat16)], axis=1)
@@ -366,9 +369,15 @@ def static_nuts_step(
     Wf = jnp.arange(T, dtype=dtype)[None, :]  # [1, T] f32
     ones_col = jnp.ones((T, 1), dtype)
 
-    def rowsum(x):  # [B, T] f32 -> [B] via MXU matvec
+    def rowsum(x, exact=False):  # [B, T] f32 -> [B] via MXU matvec
+        # The {0,1}-mask and small-integer rowsums are exact even at the
+        # TPU default (bf16-multiplicand) precision: their operands are
+        # exactly representable in bf16 and accumulation is f32.  Pass
+        # exact=True for real-valued operands (the dual-averaging α sum)
+        # so those match the dynamic backend's f32 adds.
         return jax.lax.dot_general(
-            x, ones_col, (((1,), (0,)), ((), ()))
+            x, ones_col, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST if exact else None,
         )[:, 0]
 
     def rowsum_k(x, k):  # [B, T >> k] f32 -> [B]
@@ -443,7 +452,7 @@ def static_nuts_step(
         # dual-averaging statistics over evaluated leaves (early exit at
         # the first failing leaf, like the dynamic builder); a_w can be
         # NaN at the failing leaf — where-select, then sum
-        alpha_j = rowsum(jnp.where(ev > 0.5, a_w, zero))
+        alpha_j = rowsum(jnp.where(ev > 0.5, a_w, zero), exact=True)
         n_alpha_j = rowsum(ev).astype(jnp.int32)
         n_sub_f = rowsum(ev * valid_f)
         n_sub = n_sub_f.astype(jnp.int32)

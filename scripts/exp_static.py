@@ -112,6 +112,9 @@ def run_xla(logp, scales, pos, lp, grad):
 
 
 def run_static(logp, scales, pos, lp, grad, unroll):
+    # NOTE: the shipped kernel's integration loop is always fully unrolled
+    # (the unroll parameter was removed); ``unroll`` here only labels the
+    # log line and varies the integration-only probes below.
     from general_mcmc_tpu.ops.static_tree import static_nuts_step
 
     inv = jnp.broadcast_to(scales**2, (N, DIM))
@@ -127,7 +130,7 @@ def run_static(logp, scales, pos, lp, grad, unroll):
                 jax.random.fold_in(jax.random.PRNGKey(SEED + 1), k), N
             )
             r = static_nuts_step(
-                keys, p, l, g, eps, inv, mscale, vg, DEPTH, unroll=unroll
+                keys, p, l, g, eps, inv, mscale, vg, DEPTH
             )
             return (r.pos, r.lp, r.grad), (jnp.sum(r.depth), jnp.sum(r.diverged))
 
@@ -155,6 +158,12 @@ def run_integration_only(logp, scales, pos, lp, grad, unroll, variant="dual",
     stacks with a cheap reduction so XLA cannot DCE them.  Bounds how much of
     the full static step's wall the retrospective phase costs (same role as
     the round-3 STRIPPED-kernel probe, docs/BENCH_HISTORY.md).
+
+    HISTORICAL FORM: this probe still integrates via a lax.scan with
+    [T, B, d]-stacked outputs — the layout the shipped kernel used when the
+    probe was written.  The shipped kernel now unrolls the loop and stacks
+    [B, T, d] (see ops/static_tree.py), so this bounds the old variant;
+    treat cross-probe deltas, not absolute walls, as meaningful.
 
     variant="dual":   the shipped dual-frontier body (9 [B,d] selects/iter).
     variant="single": one current frontier; at i == offset the carry resets
