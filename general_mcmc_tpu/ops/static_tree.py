@@ -66,7 +66,13 @@ samplers/nuts.py):
   *actual* work (the dynamic backend reports evaluated leaves).  This
   backend is built for small depth caps (the benchmark's cap-4 regime,
   where dynamic trees are ~84% saturated anyway); for max_depth ≥ ~6 the
-  always-full window wastes compute and the dynamic tree wins.
+  always-full window wastes compute and the dynamic tree wins;
+- on TPU the U-turn dot products run at default matmul precision (bf16
+  multiplicands, f32 accumulate — like the dynamic backend's own MXU
+  dots), and the one-hot window permute re-rounds the Gram once more:
+  borderline turned flags can differ from the exact-f32 CPU path.  The
+  rule remains a deterministic symmetric function of the trajectory, so
+  the sampler is exactly valid either way.
 
 Identity, diagonal, and dense mass matrices are supported (``dense=True``
 switches the velocity maps to per-chain batched matvecs; the Gram and the
