@@ -30,6 +30,35 @@ EPS = float(os.environ.get("GMT_EXP_EPS", 0.5))
 TRACE_DIR = os.environ.get("GMT_TRACE_DIR", "/tmp/static_trace")
 
 
+def _rank_from_trace_json():
+    """Rank device ops by total duration from the .trace.json.gz capture —
+    the path that works on this image (the xplane→op-stats converter's
+    upb protobuf crashes).  Wrapper `while.*` rows are skipped so per-op
+    rows are visible; divide totals by the step count for per-step cost."""
+    import collections
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"),
+                             recursive=True))
+    if not paths:
+        print("no trace.json.gz captured", file=sys.stderr)
+        return
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    tot, cnt = collections.Counter(), collections.Counter()
+    for e in d.get("traceEvents", []):
+        if e.get("ph") == "X" and "dur" in e and e.get("args", {}).get("hlo_category"):
+            n = e.get("name", "?")
+            if n.startswith("while."):
+                continue
+            tot[n] += e["dur"]
+            cnt[n] += 1
+    print(f"{'total_ms':>10}  {'count':>7}  op")
+    for name, us in tot.most_common(40):
+        print(f"{us / 1000:10.2f}  {cnt[name]:7d}  {name[:100]}")
+
+
 def main():
     from general_mcmc_tpu import init_with_seed
     from general_mcmc_tpu.ops.static_tree import static_nuts_step
@@ -70,11 +99,17 @@ def main():
     if not paths:
         print("no xplane captured", file=sys.stderr)
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {"tqx": "out:csv;"}
-    )
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            [paths[-1]], "framework_op_stats", {"tqx": "out:csv;"}
+        )
+    except Exception as e:  # noqa: BLE001 — converter crashes (protobuf) on this image
+        print(f"xplane converter unavailable ({type(e).__name__}); "
+              "falling back to trace.json.gz", file=sys.stderr)
+        _rank_from_trace_json()
+        return
     out_csv = os.path.join(TRACE_DIR, "op_stats.csv")
     if isinstance(data, bytes):
         data = data.decode()
