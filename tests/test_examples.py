@@ -167,3 +167,13 @@ def test_two_wells_tempering(_example_out):
     trapped_frac, mixed_frac = two_wells_tempering.main()
     assert trapped_frac < 0.05
     assert 0.3 < mixed_frac < 0.7
+
+
+def test_static_window_nuts_example():
+    import numpy as np
+    import static_window_nuts
+
+    sample = static_window_nuts.main()
+    flat = np.asarray(sample).reshape(-1, 16)
+    scales = np.exp(np.linspace(0.0, np.log(10.0), 16))
+    np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.12)
