@@ -163,6 +163,18 @@ _FACTORIES = {
         0.8,
         step_size=0.3,
     ),
+    # static-window backend: the per-step RNG is position-indexed just like
+    # the dynamic tree's, so resume must be bit-exact here too
+    "nuts_static": lambda: NUTS(
+        DiffableGaussian2D(
+            mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+        ),
+        init_det(4, 2),
+        0.8,
+        step_size=0.3,
+        max_tree_depth=3,
+        backend="static",
+    ),
 }
 
 
