@@ -263,3 +263,20 @@ def test_stream_window_indexing_small_chain_count(capsys):
     for chain, val in ((1, 0.20), (2, 0.30), (3, 0.40), (0, 0.10)):
         line = next(l for l in out.splitlines() if l.startswith(f"Chain {chain} "))
         assert f"{val:.2f}" in line, (chain, line)
+
+
+def test_stream_mode_static_nuts_matches_run():
+    """Stream-mode progress composes with the static-window NUTS backend:
+    identical samples to a plain run (same scan, tracker rides the carry)."""
+    import numpy as np
+
+    from general_mcmc_tpu import NUTS, GaussianND, init_det
+
+    def mk():
+        t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.ones(2, jnp.float32))
+        return NUTS(t, init_det(8, 2), 0.8, max_tree_depth=3, step_size=0.5,
+                    backend="static").seed(9)
+
+    ref = np.asarray(mk().run(40, 12))
+    sample, stats = mk().run_progress(40, 12, progress=False, mode="stream")
+    np.testing.assert_array_equal(np.asarray(sample), ref)
