@@ -407,3 +407,32 @@ def test_static_backend_dense_adaptation_end_to_end():
     )
     rhat, _ = split_rhat_mean_ess(jnp.asarray(out))
     assert np.asarray(rhat).max() < 1.05
+
+
+def test_static_backend_composes_with_track_thin_chain():
+    """Runtime features compose with the static schedule: track() derived
+    quantities, thinned runs (RNG position-indexed: a thinned run visits the
+    unthinned run's states), and incremental chain() driving."""
+    from general_mcmc_tpu import NUTS, GaussianND, init_det
+
+    def mk():
+        t = GaussianND(mean=jnp.zeros(3, jnp.float32),
+                       cov=jnp.array([1.0, 4.0, 0.25], jnp.float32))
+        return NUTS(t, init_det(8, 3), 0.8, max_tree_depth=3, step_size=0.4,
+                    backend="static").seed(21)
+
+    # thin=2 visits exactly the unthinned run's states, strided
+    full = np.asarray(mk().run(20, 6))
+    thinned = np.asarray(mk().run(10, 6, thin=2))
+    np.testing.assert_array_equal(thinned, full[:, 1::2])
+
+    # track(): derived quantity recorded in-scan
+    tracked = np.asarray(mk().track(lambda x: x[:, :1] + x[:, 1:2]).run(20, 6))
+    np.testing.assert_allclose(tracked[:, :, 0], full[:, :, 0] + full[:, :, 1],
+                               rtol=1e-6)
+
+    # chain(): incremental stepping reproduces the one-shot run
+    ch = mk().chain(n_warmup=6)
+    ch.step(6)
+    block = np.asarray(ch.step(20))
+    np.testing.assert_allclose(block, full, rtol=1e-6)
