@@ -149,10 +149,14 @@ class GaussianND:
         if cov.ndim == 1:
             prec = 1.0 / cov**2  # cov given as std-dev scales
             object.__setattr__(self, "_diag_prec", prec)
-            object.__setattr__(self, "_inv_cov", None)
+            object.__setattr__(self, "_chol", None)
         else:
+            # Cholesky, not an explicit inverse: diffᵀΣ⁻¹diff = ‖L⁻¹diff‖²
+            # stays accurate on the ill-conditioned covariances this target
+            # is benchmarked with (round-2 review item: jnp.linalg.inv loses
+            # digits exactly where the condition number is the point).
             object.__setattr__(self, "_diag_prec", None)
-            object.__setattr__(self, "_inv_cov", jnp.linalg.inv(cov))
+            object.__setattr__(self, "_chol", jnp.linalg.cholesky(cov))
         object.__setattr__(self, "mean", mean)
         object.__setattr__(self, "cov", cov)
 
@@ -160,7 +164,8 @@ class GaussianND:
         diff = jnp.asarray(x) - self.mean
         if self._diag_prec is not None:
             return -0.5 * jnp.sum(diff * diff * self._diag_prec)
-        return -0.5 * (diff @ self._inv_cov @ diff)
+        y = jax.scipy.linalg.solve_triangular(self._chol, diff, lower=True)
+        return -0.5 * jnp.sum(y * y)
 
     __call__ = unnorm_logp
 
