@@ -72,7 +72,17 @@ samplers/nuts.py):
   dots), and the one-hot window permute re-rounds the Gram once more:
   borderline turned flags can differ from the exact-f32 CPU path.  The
   rule remains a deterministic symmetric function of the trajectory, so
-  the sampler is exactly valid either way.
+  the sampler is exactly valid either way;
+- non-finite Gram entries are sanitized to 0 before the one-hot permute
+  (0·NaN would otherwise poison every entry).  This matches the dynamic
+  backend's NaN-compare-False U-turn behavior whenever non-finite leaf
+  *positions* imply non-finite joints (lp(±Inf/NaN pos) = −Inf/NaN), which
+  holds for every well-posed target: such leaves are flagged bad and the
+  first-failure mask stops travel before their node flags are read.  A
+  target returning a *finite* lp at a non-finite position violates that
+  assumption — its merged-window check could turn where the dynamic tree
+  would not.  Both remain valid samplers (the rule stays symmetric and
+  deterministic); only exact law agreement needs the assumption.
 
 Identity, diagonal, and dense mass matrices are supported (``dense=True``
 switches the velocity maps to per-chain batched matvecs; the Gram and the
@@ -160,6 +170,18 @@ def static_nuts_step(
     """
     if max_depth < 1:
         raise ValueError("static backend requires max_depth >= 1")
+    if max_depth > 8:
+        # The index-recovery rowsums (w_pick, slot_pick) are MXU matvecs at
+        # default precision: bf16 multiplicands are exact only for integers
+        # <= 256 = 2^8, so window indices need T = 2^J <= 256.  The sampler
+        # guards this too (samplers/nuts.py), but a direct caller must hit
+        # the precondition at the op boundary, not get silently-corrupted
+        # proposal indices on TPU.
+        raise ValueError(
+            "static backend requires max_depth <= 8 (window index recovery "
+            "is exact in bf16 only for T = 2^max_depth <= 256); use the "
+            "dynamic backend for deeper trees"
+        )
     J = int(max_depth)
     T = 1 << J
     B, d = pos.shape

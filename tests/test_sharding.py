@@ -70,17 +70,27 @@ def test_nuts_sharded_matches_unsharded():
 
 def test_nuts_static_backend_sharded_matches_unsharded():
     """The static-window schedule ([B, T, d] leaf stacks, one-hot Gram
-    permutes) must be chain-shardable.  Tolerance is ULP-scale, not exact:
-    the fully-unrolled integration loop gives XLA 15 separate leapfrog
-    bodies whose mul-add fusions can differ between the sharded and
-    unsharded compiles (~5e-7 relative over this run); a U-turn/selection
-    flip would show up as O(1) differences and still fail."""
+    permutes) must be chain-shardable.  Position tolerance is ULP-scale,
+    not exact: the fully-unrolled integration loop gives XLA 15 separate
+    leapfrog bodies whose mul-add fusions can differ between the sharded
+    and unsharded compiles (~5e-7 relative over this run).  Discrete
+    outputs are immune to that float noise, so they are pinned EXACTLY:
+    per-chain divergence counters, and the per-transition move/stay
+    pattern (a stayed transition re-selects the initial leaf bitwise, so
+    any sharding-induced U-turn/selection flip perturbs the pattern even
+    where downstream positions drift back under the loose tolerance)."""
     target = _gauss2()
     n1 = NUTS(target, init_det(16, 2), 0.8, max_tree_depth=4, backend="static").seed(4)
     ref = np.asarray(n1.run(10, 10))
     n2 = NUTS(target, init_det(16, 2), 0.8, max_tree_depth=4, backend="static").seed(4)
     shard = np.asarray(run_sharded(n2, 10, 10, chain_mesh(8)))
     np.testing.assert_allclose(shard, ref, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(n2.divergences), np.asarray(n1.divergences)
+    )
+    moved_ref = (ref[:, 1:] != ref[:, :-1]).any(axis=-1)
+    moved_shard = (shard[:, 1:] != shard[:, :-1]).any(axis=-1)
+    np.testing.assert_array_equal(moved_shard, moved_ref)
 
 
 def test_nuts_dim_sharded_2d_mesh():

@@ -315,6 +315,17 @@ def test_static_backend_guards():
     t = GaussianND(mean=jnp.zeros(2, jnp.float32), cov=jnp.ones(2, jnp.float32))
     with pytest.raises(ValueError, match="static"):
         NUTS(t, init_with_seed(4, 2, 0), backend="static")  # depth 10 default
+    # The op itself enforces the bf16 index-recovery exactness bound
+    # (ADVICE r3: a direct caller must not silently corrupt indices at J>8).
+    from general_mcmc_tpu.ops.static_tree import static_nuts_step
+
+    with pytest.raises(ValueError, match="max_depth <= 8"):
+        static_nuts_step(
+            jax.random.split(jax.random.PRNGKey(0), 4),
+            jnp.zeros((4, 2)), jnp.zeros(4), jnp.zeros((4, 2)),
+            jnp.ones(4), jnp.ones((4, 2)), jnp.ones((4, 2)),
+            lambda x: (-0.5 * jnp.sum(x * x), -x), 9,
+        )
     with pytest.raises(ValueError, match="diagonal"):
         NUTS(  # pallas stays diag-only; static supports dense (test below)
             t, init_with_seed(4, 2, 0), backend="pallas", max_tree_depth=4,
