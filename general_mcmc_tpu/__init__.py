@@ -24,6 +24,7 @@ from .diagnostics.stats import (
     ess_tail,
     max_skipnan,
     rank_normalized_rhat,
+    rank_normalized_summary,
     split_rhat_mean_ess,
 )
 from .models import distributions

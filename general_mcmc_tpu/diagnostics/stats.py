@@ -38,6 +38,8 @@ __all__ = [
     "max_skipnan",
     "split_rhat_mean_ess",
     "rank_normalized_rhat",
+    "rank_normalized_summary",
+    "RankSummary",
     "ess_bulk",
     "ess_tail",
     "ess_from_chainstats",
@@ -579,11 +581,31 @@ def split_rhat_mean_ess(sample, steps_major: bool = False,
 # Rank-normalized diagnostics (Vehtari, Gelman, Simpson, Carpenter, Bürkner
 # 2021, "Rank-normalization, folding, and localization: an improved R-hat").
 # The reference lists these as unshipped roadmap work (lib.rs:225-227); this
-# rebuild ships them.  They operate on the full (moderate-size) sample —
-# the rank transform needs a pooled sort per parameter — so the >10 GB bench
-# path keeps the chunked classic split-R-hat as its gate; use these for
-# final-quality diagnostics on collected posteriors.
+# rebuild ships them.  Two execution paths, auto-dispatched on sample size
+# exactly like the classic split-R-hat (``_plan_chunks``):
+#
+# - exact: pooled argsort ranks per parameter (moderate samples);
+# - grid (memory-bounded, >10 GB samples): a chains-chunked two-pass scheme
+#   mirroring ``_suffstats_all``'s design — pass A computes the EXACT pooled
+#   ECDF at ``_RANK_GRID_K`` uniform grid points per parameter (per-chunk
+#   sort + searchsorted, counts summed across chunks inside one nested-map
+#   program); pass B re-reads each chunk, maps every draw through the
+#   piecewise-linear ECDF (z = Φ⁻¹((r−3/8)/(S+1/4)) with r the interpolated
+#   pooled count) and reduces the transformed series to per-chain sufficient
+#   statistics on the spot.  The only approximation is the within-grid-cell
+#   linear interpolation of ranks: the transform stays a single pooled
+#   monotone map shared by all chains (so the statistic is still an exact
+#   rank-R-hat of a discretized transform), and the rank error per draw is
+#   bounded by the draw mass inside one grid cell — O(density·range/K),
+#   ~1e-4 in CDF units for Gaussian-like marginals at the default K.
+#   Folded R-hat and the 5%/95% tail cuts come from the SAME grid ECDF
+#   (F_ζ(t) = F(med+t) − F(med−t)), so no extra data passes are needed.
 # ---------------------------------------------------------------------------
+
+# ECDF grid resolution for the memory-bounded rank path.  [K, p] f32 tables
+# are ~13 MB at the bench's p=100 — negligible next to the >10 GB sample that
+# triggers this path.
+_RANK_GRID_K = 32768
 
 
 def _as_chains_major(sample, steps_major: bool) -> jax.Array:
@@ -612,7 +634,32 @@ def _split_rhat_of(x: jax.Array) -> jax.Array:
     return jnp.sqrt(var / within)
 
 
-def rank_normalized_rhat(sample, steps_major: bool = False) -> jax.Array:
+class RankSummary(NamedTuple):
+    """Joint output of the rank-normalized diagnostics (one shared set of
+    data passes — the efficient entry point for >10 GB samples)."""
+
+    rhat: jax.Array  # max(bulk, folded) rank-normalized split-R-hat [p]
+    ess_bulk: jax.Array  # split ESS of the rank-normal draws [p]
+    ess_tail: jax.Array  # min(5%, 95%) quantile-indicator split ESS [p]
+
+
+def _dispatch_rank(sample, steps_major: bool, method: str):
+    """Pick exact vs grid path: same size heuristic as the classic
+    diagnostics (``_plan_chunks`` returning a plan means the sample is too
+    big for single-program full-sample math)."""
+    if method not in ("auto", "exact", "grid"):
+        raise ValueError(f"method must be auto|exact|grid, got {method!r}")
+    if method != "auto":
+        return method
+    if steps_major:
+        n0, c0, p = jnp.shape(sample)
+    else:
+        c0, n0, p = jnp.shape(sample)
+    return "exact" if _plan_chunks(n0, c0, p, split=True) is None else "grid"
+
+
+def rank_normalized_rhat(sample, steps_major: bool = False,
+                         method: str = "auto") -> jax.Array:
     """max(bulk, folded) rank-normalized split-R-hat per parameter.
 
     ``bulk`` is split-R-hat of the rank-normal-transformed draws (catches
@@ -620,7 +667,15 @@ def rank_normalized_rhat(sample, steps_major: bool = False) -> jax.Array:
     ``folded`` applies the same transform to ζ = |θ − median(θ)| (catches
     SCALE disagreement, which classic R-hat is blind to: chains with equal
     means but different variances pass sqrt(V̂/W) ≈ 1).  Convergence gate:
-    max < 1.01 (Vehtari et al. 2021 recommend this over 1.1)."""
+    max < 1.01 (Vehtari et al. 2021 recommend this over 1.1).
+
+    ``method="auto"`` switches to the memory-bounded grid-ECDF path for
+    samples too large for pooled sorts (section comment above); when you
+    also need ``ess_bulk``/``ess_tail`` on such a sample, call
+    :func:`rank_normalized_summary` once instead of the three functions
+    (they would each redo the chunked passes)."""
+    if _dispatch_rank(sample, steps_major, method) == "grid":
+        return _rank_grid_summary(sample, steps_major).rhat
     x = _as_chains_major(sample, steps_major)
     bulk = _split_rhat_of(_rank_normalize(x))
     med = jnp.median(x.reshape(-1, x.shape[-1]), axis=0)
@@ -628,20 +683,26 @@ def rank_normalized_rhat(sample, steps_major: bool = False) -> jax.Array:
     return jnp.maximum(bulk, folded)
 
 
-def ess_bulk(sample, steps_major: bool = False) -> jax.Array:
+def ess_bulk(sample, steps_major: bool = False,
+             method: str = "auto") -> jax.Array:
     """Split ESS of the rank-normal-transformed draws (Vehtari et al. 2021
     §4.1) — the robust replacement for mean-ESS on heavy-tailed targets."""
+    if _dispatch_rank(sample, steps_major, method) == "grid":
+        return _rank_grid_summary(sample, steps_major).ess_bulk
     x = _as_chains_major(sample, steps_major)
     blk = _splitcat(_rank_normalize(x))
     within, var = _withinvar(blk)
     return _ess(blk, within, var)
 
 
-def ess_tail(sample, steps_major: bool = False) -> jax.Array:
+def ess_tail(sample, steps_major: bool = False,
+             method: str = "auto") -> jax.Array:
     """Tail ESS: min over the 5% and 95% pooled-quantile indicator series of
     their split ESS (Vehtari et al. 2021 §4.3).  Low tail-ESS flags
     unreliable credible-interval endpoints even when bulk ESS looks fine.
     Degenerate (constant) indicator series yield NaN."""
+    if _dispatch_rank(sample, steps_major, method) == "grid":
+        return _rank_grid_summary(sample, steps_major).ess_tail
     x = _as_chains_major(sample, steps_major)
     flat = x.reshape(-1, x.shape[-1])
 
@@ -653,6 +714,264 @@ def ess_tail(sample, steps_major: bool = False) -> jax.Array:
         return _ess(blk, within, var)
 
     return jnp.minimum(ess_q(0.05), ess_q(0.95))
+
+
+def rank_normalized_summary(sample, steps_major: bool = False,
+                            method: str = "auto") -> RankSummary:
+    """All three rank-normalized diagnostics in one call.
+
+    On the grid path this shares the chunked data passes (3 reads of the
+    sample total instead of 3 per statistic); on the exact path it simply
+    collects the three full-sample computations."""
+    if _dispatch_rank(sample, steps_major, method) == "grid":
+        return _rank_grid_summary(sample, steps_major)
+    return RankSummary(
+        rhat=rank_normalized_rhat(sample, steps_major, method="exact"),
+        ess_bulk=ess_bulk(sample, steps_major, method="exact"),
+        ess_tail=ess_tail(sample, steps_major, method="exact"),
+    )
+
+
+# -- memory-bounded grid-ECDF path ------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("per_chunk", "W", "chunk", "main", "steps_major")
+)
+def _chunked_chains_pass(sample, consts, per_chunk, W: int, chunk: int,
+                         main: int, steps_major: bool):
+    """Generic nested-map over chains-chunks — the same two-level ``lax.map``
+    structure as :func:`_suffstats_all` (see its docstring for why that
+    exact shape: single dispatch, O(1) executables, ~GB-bounded temps).
+
+    ``per_chunk(blk, consts)`` takes a ``[chunk, n, p]`` chains-major block
+    and returns ``(stack_tree, sum_tree)``: leaves of the first MUST carry a
+    leading per-chunk axis (e.g. split-chain rows) and are concatenated
+    across all ``main // chunk`` chunks; leaves of the second are summed.
+    ``consts`` is a pytree of small traced arrays shared by every chunk
+    (grid tables, cuts)."""
+    axis = 1 if steps_major else 0
+    merge = lambda a: a.reshape((-1,) + a.shape[2:])
+
+    def outer(g):
+        blk1 = jax.lax.dynamic_slice_in_dim(sample, g * W, W, axis=axis)
+        if steps_major:
+            blk1 = jnp.swapaxes(blk1, 0, 1)
+
+        def inner(k):
+            blk = jax.lax.dynamic_slice_in_dim(blk1, k * chunk, chunk, axis=0)
+            return per_chunk(blk, consts)
+
+        st, sm = jax.lax.map(inner, jnp.arange(W // chunk))
+        return (
+            jax.tree.map(merge, st),
+            jax.tree.map(lambda a: jnp.sum(a, axis=0), sm),
+        )
+
+    st, sm = jax.lax.map(outer, jnp.arange(main // W))
+    st = jax.tree.map(merge, st)
+    return st, jax.tree.map(lambda a: jnp.sum(a, axis=0), sm)
+
+
+def _run_chunked_pass(sample, consts, per_chunk, plan, steps_major, c0):
+    """Main nested-map program + the < chunk-sized tail program (chain
+    counts without a convenient divisor), combined: stacked leaves
+    concatenate, summed leaves add."""
+    chunk, W, main = plan
+    st, sm = _chunked_chains_pass(
+        sample, consts, per_chunk, W, chunk, main, steps_major
+    )
+    if main < c0:
+        axis = 1 if steps_major else 0
+        tail = jax.lax.slice_in_dim(sample, main, c0, axis=axis)
+        if steps_major:
+            tail = jnp.swapaxes(tail, 0, 1)
+        st_t, sm_t = jax.jit(per_chunk)(tail, consts)
+        st = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), st, st_t
+        )
+        sm = jax.tree.map(jnp.add, sm, sm_t)
+    return st, sm
+
+
+def _pc_minmax(blk, consts):
+    """Pass 0: per-parameter min/max of one chunk ([1, p] leading chunk
+    axis per the stack-tree contract)."""
+    del consts
+    blk = blk.astype(jnp.float32)
+    return (
+        {
+            "lo": jnp.min(blk, axis=(0, 1))[None, :],
+            "hi": jnp.max(blk, axis=(0, 1))[None, :],
+        },
+        {},
+    )
+
+
+def _pc_ecdf_counts(blk, consts):
+    """Pass A: exact pooled-ECDF counts of one chunk at the uniform grid —
+    sort the chunk per parameter, then one searchsorted per parameter
+    (count of chunk draws ≤ each grid point).  Counts sum exactly across
+    chunks, which is what makes the grid ECDF exact at its knots."""
+    grid = consts["grid"]  # [K, p]
+    cc, n, p = blk.shape
+    flat = jnp.sort(blk.astype(jnp.float32).reshape(cc * n, p), axis=0)
+    counts = jax.vmap(
+        lambda col, g: jnp.searchsorted(col, g, side="right"),
+        in_axes=(1, 1), out_axes=1,
+    )(flat, grid)  # [K, p] int
+    return {}, {"counts": counts}
+
+
+def _interp_counts(x, lo, w, F):
+    """Piecewise-linear interpolation of the pooled count function at the
+    draws: F is [K, p] counts-at-grid, x is [..., p] in original units."""
+    K = F.shape[0]
+    p = F.shape[1]
+    t = (x - lo) / w  # grid coordinates in [0, K-1]
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, K - 2)
+    frac = jnp.clip(t - i0.astype(t.dtype), 0.0, 1.0)
+    flat_i0 = i0.reshape(-1, p)
+    F0 = jnp.take_along_axis(F, flat_i0, axis=0).reshape(x.shape)
+    F1 = jnp.take_along_axis(F, flat_i0 + 1, axis=0).reshape(x.shape)
+    return F0 + frac * (F1 - F0)
+
+
+def _grid_z(x, lo, w, F, total):
+    """Rank-normal transform through the grid ECDF: z = Φ⁻¹((r−3/8)/(S+1/4))
+    with r the interpolated pooled count (Blom offsets as in
+    :func:`_rank_normalize`; r clipped to [1, S] like true ranks)."""
+    from jax.scipy.special import ndtri
+
+    r = jnp.clip(_interp_counts(x, lo, w, F), 1.0, total)
+    return ndtri((r - 0.375) / (total + 0.25))
+
+
+def _pc_rank_suffstats(blk, consts):
+    """Pass B: per-chain sufficient statistics of the four derived series of
+    one chunk — rank-normal z (bulk), folded rank-normal z, and the two
+    tail-quantile indicator series.  Split-chain means/sq for all four;
+    autocovariance sums for the three that feed an ESS (folded feeds R-hat
+    only)."""
+    lo, w, F = consts["lo"], consts["w"], consts["F"]
+    zlo, zw, Fz = consts["zlo"], consts["zw"], consts["Fz"]
+    total = consts["total"]
+    med, q05, q95 = consts["med"], consts["q05"], consts["q95"]
+
+    x = blk.astype(jnp.float32)
+    z_bulk = _grid_z(x, lo, w, F, total)
+    z_fold = _grid_z(jnp.abs(x - med), zlo, zw, Fz, total)
+    i05 = (x <= q05).astype(jnp.float32)
+    i95 = (x <= q95).astype(jnp.float32)
+
+    def suff(series, with_acov):
+        s = _splitcat(series)
+        means = jnp.mean(s, axis=1)
+        sq = jnp.mean((s - means[:, None, :]) ** 2, axis=1)
+        if not with_acov:
+            return (means, sq), ()
+        return (means, sq), (jnp.sum(autocov_fft(s), axis=0),)
+
+    (mb, sb), (ab,) = suff(z_bulk, True)
+    (mf, sf), () = suff(z_fold, False)
+    (m5, s5), (a5,) = suff(i05, True)
+    (m9, s9), (a9,) = suff(i95, True)
+    return (
+        {"bulk": (mb, sb), "fold": (mf, sf), "i05": (m5, s5), "i95": (m9, s9)},
+        {"acov_bulk": ab, "acov_i05": a5, "acov_i95": a9},
+    )
+
+
+def _inverse_ecdf(F_frac, lo, w, level):
+    """Inverse of the piecewise-linear grid ECDF at ``level`` per parameter:
+    linear interpolation between the bracketing grid knots."""
+    K = F_frac.shape[0]
+    # index of the last knot strictly below the level (monotone F)
+    i = jnp.clip(
+        jnp.sum((F_frac < level).astype(jnp.int32), axis=0) - 1, 0, K - 2
+    )  # [p]
+    i2 = i[None, :]
+    F0 = jnp.take_along_axis(F_frac, i2, axis=0)[0]
+    F1 = jnp.take_along_axis(F_frac, i2 + 1, axis=0)[0]
+    frac = jnp.clip((level - F0) / jnp.maximum(F1 - F0, 1e-12), 0.0, 1.0)
+    return lo + (i.astype(jnp.float32) + frac) * w
+
+
+def _rank_grid_summary(sample, steps_major: bool) -> RankSummary:
+    """Memory-bounded rank-normalized diagnostics (section comment above):
+    three chunked passes — min/max, grid-ECDF counts, transformed-series
+    sufficient statistics — reusing the classic path's chunk plan and
+    combine math."""
+    sample = jnp.asarray(sample)
+    if steps_major:
+        n0, c0, p = sample.shape
+    else:
+        c0, n0, p = sample.shape
+    plan = _plan_chunks(n0, c0, p, split=True)
+    if plan is None:  # tiny sample forced onto this path (tests)
+        plan = (c0, c0, c0)
+    K = _RANK_GRID_K
+    total = jnp.float32(c0 * n0)
+
+    # pass 0: per-parameter range
+    st, _ = _run_chunked_pass(sample, {}, _pc_minmax, plan, steps_major, c0)
+    lo = jnp.min(st["lo"], axis=0)
+    hi = jnp.max(st["hi"], axis=0)
+    w = jnp.maximum(hi - lo, jnp.float32(1e-30)) / (K - 1)
+
+    # pass A: exact pooled ECDF counts at the K uniform knots
+    grid = lo[None, :] + w[None, :] * jnp.arange(K, dtype=jnp.float32)[:, None]
+    _, sm = _run_chunked_pass(
+        sample, {"grid": grid}, _pc_ecdf_counts, plan, steps_major, c0
+    )
+    F = sm["counts"].astype(jnp.float32)  # [K, p] counts ≤ knot
+    F_frac = F / total
+
+    # pooled median and tail cuts from the same grid ECDF
+    med = _inverse_ecdf(F_frac, lo, w, 0.5)
+    q05 = _inverse_ecdf(F_frac, lo, w, 0.05)
+    q95 = _inverse_ecdf(F_frac, lo, w, 0.95)
+
+    # folded ECDF on a ζ = |x − med| grid, derived from F (no extra pass):
+    # count(ζ ≤ t) = count(x ≤ med+t) − count(x < med−t) ≈ F(med+t) − F(med−t)
+    zhi = jnp.maximum(hi - med, med - lo)
+    zw = jnp.maximum(zhi, jnp.float32(1e-30)) / (K - 1)
+    zgrid = zw[None, :] * jnp.arange(K, dtype=jnp.float32)[:, None]
+    Fz = _interp_counts(med[None, :] + zgrid, lo, w, F) - _interp_counts(
+        med[None, :] - zgrid, lo, w, F
+    )
+    Fz = jnp.maximum(jax.lax.cummax(Fz, axis=0), 0.0)  # monotone, ≥ 0
+
+    consts = {
+        "lo": lo, "w": w, "F": F, "zlo": jnp.zeros_like(lo), "zw": zw,
+        "Fz": Fz, "total": total, "med": med, "q05": q05, "q95": q95,
+    }
+    st, sm = _run_chunked_pass(
+        sample, consts, _pc_rank_suffstats, plan, steps_major, c0
+    )
+
+    def combine(key, acov_key):
+        means, sq = st[key]
+        rhat, ess, _, _ = _combine_suffstats(means, sq, sm[acov_key])
+        return rhat, ess
+
+    rhat_bulk, essb = combine("bulk", "acov_bulk")
+    ess5 = combine("i05", "acov_i05")[1]
+    ess9 = combine("i95", "acov_i95")[1]
+    # folded R-hat needs no ESS: combine means/sq directly
+    mf, sf = st["fold"]
+    nsplit = (n0 // 2) or float("nan")
+    overall = jnp.mean(mf, axis=0)
+    b = jnp.sum((mf - overall) ** 2, axis=0) * (nsplit / (mf.shape[0] - 1.0))
+    wth = jnp.mean(sf, axis=0)
+    v = ((nsplit - 1.0) / nsplit) * wth + b / nsplit
+    rhat_fold = jnp.sqrt(v / wth)
+
+    return RankSummary(
+        rhat=jnp.maximum(rhat_bulk, rhat_fold),
+        ess_bulk=essb,
+        ess_tail=jnp.minimum(ess5, ess9),
+    )
 
 
 def ess_from_chainstats(sample, chain_stats: list[ChainStats]) -> jax.Array:
