@@ -63,12 +63,42 @@ def shard_carry(carry, mesh: Mesh, shard_dim: bool = False):
     """Place a sampler carry on the mesh: leading axis over ``chains``; with
     ``shard_dim``, second axes of matrices over ``dim`` as well.  The jitted
     sampling scan then runs SPMD with XLA-inserted collectives only where
-    cross-shard reductions exist (none for pure DP)."""
+    cross-shard reductions exist (none for pure DP).
+
+    Multi-process safe: when the mesh spans other processes' devices,
+    host-local leaves are placed shard-by-shard via
+    ``make_array_from_callback`` (every process holds the full host value,
+    e.g. seeds and replicated scalars, so it can materialize exactly its
+    addressable pieces), and leaves that are already global arrays (e.g.
+    :func:`~.distributed.init_positions_on_mesh` output) are kept or
+    resharded through a jitted identity."""
     shard_dim = shard_dim and DIM_AXIS in mesh.axis_names
 
     def place(leaf):
-        return jax.device_put(
-            leaf, NamedSharding(mesh, _leaf_spec(leaf, shard_dim))
+        spec = _leaf_spec(leaf, shard_dim)
+        sharding = NamedSharding(mesh, spec)
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            if leaf.sharding.is_equivalent_to(sharding, leaf.ndim):
+                return leaf
+            return jax.jit(lambda x: x, out_shardings=sharding)(leaf)
+        if sharding.is_fully_addressable:
+            return jax.device_put(leaf, sharding)
+        if isinstance(leaf, jax.Array) and jax.dtypes.issubdtype(
+            leaf.dtype, jax.dtypes.prng_key
+        ):
+            # typed PRNG keys: place the uint32 key data (trailing key-data
+            # axis replicated), rewrap with the same impl
+            host = np.asarray(jax.random.key_data(leaf))
+            data_sharding = NamedSharding(mesh, P(*spec, None))
+            data = jax.make_array_from_callback(
+                host.shape, data_sharding, lambda idx: host[idx]
+            )
+            return jax.random.wrap_key_data(
+                data, impl=jax.random.key_impl(leaf)
+            )
+        host = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
         )
 
     return jax.tree.map(place, carry)
