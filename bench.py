@@ -110,21 +110,24 @@ _T_START = time.perf_counter()
 _EST_REF_MIN_ESS_PER_SEC = 5.0e4
 
 
-def _load_baseline():
+def _load_baseline(workload: str = "gauss"):
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "docs", "CPU_BASELINE.json")
     try:
         with open(path) as f:
             rec = json.load(f)
+        if workload.startswith("logistic"):
+            rec = rec["logistic"]
         return float(rec["min_ess_per_sec"]), (
             f"measured CPU surrogate {rec['min_ess_per_sec']:,.0f} ESS/s "
-            f"(x{rec.get('n_workers', '?')} threads; docs/CPU_BASELINE.json)"
+            f"(x{rec.get('n_workers', '?')} threads, scaling validated by "
+            f"scaling_check; docs/CPU_BASELINE.json)"
         )
     except (OSError, KeyError, ValueError):
         return _EST_REF_MIN_ESS_PER_SEC, "estimate (unmeasured; BASELINE.md)"
 
 
-REF_MIN_ESS_PER_SEC, REF_BASELINE_KIND = _load_baseline()
+REF_MIN_ESS_PER_SEC, REF_BASELINE_KIND = _load_baseline(WORKLOAD)
 
 
 def _left() -> float:
@@ -226,25 +229,28 @@ _WL_DESC = (
 
 
 _EMITTED = False  # at least one verified JSON line has been printed
+_LAST_HEADLINE = None  # last emitted headline-workload payload (re-print last)
 
 
-def _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, n_collect, note=""):
-    global _EMITTED
-    print(
-        json.dumps(
-            {
-                "metric": f"min-ESS/sec, NUTS {_WL_DESC}, "
-                f"{N_CHAINS} chains ({N_WARMUP} warmup + {n_collect} collected), "
-                f"max R-hat {rhat_max:.4f}, {grad_evals_per_sec:.3g} grad-evals/s"
-                f", baseline: {REF_BASELINE_KIND}" + note,
-                "value": round(min_ess_per_sec, 1),
-                "unit": "ESS/s",
-                "vs_baseline": round(min_ess_per_sec / REF_MIN_ESS_PER_SEC, 2),
-            }
-        ),
-        flush=True,
-    )
+def _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, n_collect, note="",
+          wl_desc=None, ref=None, ref_kind=None, n_warmup=None,
+          headline=True):
+    global _EMITTED, _LAST_HEADLINE
+    ref = REF_MIN_ESS_PER_SEC if ref is None else ref
+    payload = {
+        "metric": f"min-ESS/sec, NUTS {wl_desc or _WL_DESC}, "
+        f"{N_CHAINS} chains ({n_warmup or N_WARMUP} warmup + {n_collect} "
+        f"collected), max R-hat {rhat_max:.4f}, "
+        f"{grad_evals_per_sec:.3g} grad-evals/s"
+        f", baseline: {ref_kind or REF_BASELINE_KIND}" + note,
+        "value": round(min_ess_per_sec, 1),
+        "unit": "ESS/s",
+        "vs_baseline": round(min_ess_per_sec / ref, 2),
+    }
+    print(json.dumps(payload), flush=True)
     _EMITTED = True
+    if headline:
+        _LAST_HEADLINE = payload
 
 
 def _diagnostics_with_retry(sample, tries=3):
@@ -362,6 +368,83 @@ def main(n_collect):
         _measure_and_emit(sampler, sample, wall, n_collect)
 
 
+def logistic_extra():
+    """Second, non-Gaussian perf line in the default bench output (VERDICT
+    r3 #2): the BASELINE.md stretch workload — 50-d non-centered
+    hierarchical logistic regression (n_obs=256), depth cap 5, δ=0.90 (the
+    round-2 hardware champion config, docs/BENCH_HISTORY.md) — with its own
+    measured CPU surrogate (docs/CPU_BASELINE.json \"logistic\").  Runs
+    after the headline only when budget remains; the caller re-prints the
+    Gaussian headline afterwards so the driver-parsed LAST line never
+    changes meaning."""
+    from general_mcmc_tpu import NUTS, NUTSMassMatrixConfig, init_with_seed
+    from general_mcmc_tpu.core import run_kernel
+    from general_mcmc_tpu.models.regression import (
+        HierarchicalLogisticNC,
+        make_logistic_data,
+    )
+
+    ref, ref_kind = _load_baseline("logistic")
+    dim, n_obs = 50, 256
+    cap = int(os.environ.get("GMT_BENCH_LOGISTIC_DEPTH", 5))
+    warmup = int(os.environ.get("GMT_BENCH_LOGISTIC_WARMUP", 384))
+    collect = int(os.environ.get("GMT_BENCH_LOGISTIC_COLLECT", 1024))
+    backend = os.environ.get("GMT_BENCH_LOGISTIC_BACKEND", "static")
+    X, y, _ = make_logistic_data(jax.random.PRNGKey(1), n_obs, dim - 2)
+    sampler = NUTS(
+        HierarchicalLogisticNC(X, y),
+        init_with_seed(N_CHAINS, dim, SEED),
+        target_accept_p=0.90,
+        mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
+        max_tree_depth=cap,
+        seed=SEED,
+        backend=backend,
+    )
+    desc = (
+        f"{dim}-d hierarchical logistic (non-centered) (n_obs={n_obs}, "
+        f"cap {cap}, backend {backend}) [stretch workload]"
+    )
+    sampler._prepare_run(collect, warmup)
+    walls, sample = [], None
+    for rep in range(2):
+        t0 = time.perf_counter()
+        out = run_kernel(sampler._step_fn, sampler._init_carry(), collect, warmup)
+        jax.block_until_ready(out.samples)
+        walls.append(time.perf_counter() - t0)
+        sampler._final_carry = out.carry
+        if sample is not None:
+            sample.delete()
+        sample = out.samples
+        print(f"logistic rep {rep}: {walls[-1]:.2f}s  budget left: {_left():.0f}s",
+              file=sys.stderr)
+        if rep == 0 and _left() < 150:
+            break
+        if rep == 0:
+            sample.delete()
+            sample = None
+    wall = min(walls)
+    leapfrogs = int(jnp.sum(sampler.leapfrog_count))
+    rhat, ess, _m, _s = _diagnostics_with_retry(sample)
+    rhat_max = float(jnp.max(rhat))
+    min_ess = float(jnp.min(ess))
+    flops = leapfrogs * 4 * n_obs * (dim - 2)
+    print(
+        f"logistic: wall={wall:.2f}s min_ess={min_ess:.0f} "
+        f"max_rhat={rhat_max:.4f} leapfrogs={leapfrogs} "
+        f"grad_evals/s={leapfrogs / wall:.3g} "
+        f"MXU {flops / wall / 1e12:.3f} TFLOP/s",
+        file=sys.stderr,
+    )
+    if rhat_max >= 1.01:
+        print(f"WARNING: logistic R-hat {rhat_max:.3f} >= 1.01", file=sys.stderr)
+    _emit(
+        min_ess / wall, rhat_max, leapfrogs / wall, collect,
+        note=" [incl. compile]" if len(walls) == 1 else "",
+        wl_desc=desc, ref=ref, ref_kind=ref_kind, n_warmup=warmup,
+        headline=False,
+    )
+
+
 def _free_device_memory():
     """Release every live device buffer + compiled-executable reference so a
     fallback/retry attempt starts from an empty HBM.  The round-2 driver
@@ -428,3 +511,27 @@ if __name__ == "__main__":
             transient_retries -= 1
             print("transient TPU error, retrying once after 30s", file=sys.stderr)
             time.sleep(30)
+
+    # Stretch-workload line (VERDICT r3 #2), budget permitting.  Emitted
+    # BETWEEN headline prints: if the process dies during the logistic
+    # compile the last stdout line is still the Gaussian headline, and on
+    # any path after the logistic line is printed the headline is re-printed
+    # LAST (the driver parses the final line).
+    if (
+        WORKLOAD == "gauss"
+        and os.environ.get("GMT_BENCH_SKIP_LOGISTIC") != "1"
+        and _LAST_HEADLINE is not None
+        and _left() > 420
+    ):
+        try:
+            _free_device_memory()
+            logistic_extra()
+        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
+            print(
+                f"logistic extra failed (non-fatal): {type(e).__name__}: "
+                f"{str(e)[:1000]}",
+                file=sys.stderr,
+            )
+        finally:
+            if _LAST_HEADLINE is not None:
+                print(json.dumps(_LAST_HEADLINE), flush=True)

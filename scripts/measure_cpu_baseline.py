@@ -12,9 +12,12 @@ reference-favorable assumption (chains are embarrassingly parallel), so the
 resulting ``vs_baseline`` is conservative.
 
 Writes docs/CPU_BASELINE.json, which bench.py prefers over its built-in
-estimate.  Workload mirrors the bench headline exactly: 100-d Gaussian with
-marginal scales 1..10, diagonal mass-matrix warmup (192 steps), accept 0.90,
-depth cap 4.
+estimate.  Default workload mirrors the bench headline exactly: 100-d
+Gaussian with marginal scales 1..10, diagonal mass-matrix warmup (192
+steps), accept 0.90, depth cap 4.  ``GMT_BASELINE_WORKLOAD=logistic``
+measures the BASELINE.md stretch workload instead (50-d non-centered
+hierarchical logistic, cap 5 — bench.py's second JSON line) and stores it
+under the ``"logistic"`` key of the same file.
 """
 
 import json
@@ -34,37 +37,59 @@ import jax.numpy as jnp
 from general_mcmc_tpu import NUTS, GaussianND, NUTSMassMatrixConfig, init_with_seed
 from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
 
-DIM = 100
+WORKLOAD = os.environ.get("GMT_BASELINE_WORKLOAD", "gauss")
+DIM = 100 if WORKLOAD == "gauss" else 50
 N_CHAINS = 4  # timesliced on one core; min-ESS pools across them
 N_COLLECT = 1024
 N_WARMUP = 192
+MAX_DEPTH = 4 if WORKLOAD == "gauss" else 5
 REF_THREADS = 16  # the reference's assumed Rayon pool (nuts.rs benches)
 
 
 def main():
     n_cores = os.cpu_count() or 1
-    scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM)).astype(jnp.float32)
-    target = GaussianND(mean=jnp.zeros(DIM, jnp.float32), cov=scales)
+    if WORKLOAD == "gauss":
+        scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), DIM)).astype(jnp.float32)
+        target = GaussianND(mean=jnp.zeros(DIM, jnp.float32), cov=scales)
+    else:
+        from general_mcmc_tpu.models.regression import (
+            HierarchicalLogisticNC,
+            make_logistic_data,
+        )
+
+        X, y, _ = make_logistic_data(jax.random.PRNGKey(1), 256, DIM - 2)
+        target = HierarchicalLogisticNC(X, y)
     sampler = NUTS(
         target,
         init_with_seed(N_CHAINS, DIM, 0),
         target_accept_p=0.90,
         mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
-        max_tree_depth=4,
+        max_tree_depth=MAX_DEPTH,
         warmup_tree_depth=4,
         seed=0,
+        # Pinned: the surrogate stands in for the REFERENCE's algorithm (a
+        # dynamic recursive tree, generic_nuts.rs) — not this package's
+        # static-window schedule, which the reference does not have and
+        # which runs ~1.8x faster even on CPU.  Without the pin the
+        # baseline would silently rise with our own improvements.
+        backend="xla",
     )
     # First run pays the XLA compile (the Rust reference compiles ahead of
-    # time, so compile is excluded); the measurement is the BEST of three
+    # time, so compile is excluded); the measurement is the BEST of eight
     # warm reps — minimum wall maximizes the baseline, i.e. is the
-    # reference-favorable choice.
+    # reference-favorable choice.  Eight because this shared 1-core VM's
+    # wall clock for the same program varies up to ~4x run to run
+    # (round-4 finding: the round-3 recorded baseline was measured ~3.6x
+    # slow under background load); the full wall list is recorded so the
+    # variance is visible.
     jax.block_until_ready(sampler.run(N_COLLECT, N_WARMUP))
-    wall = float("inf")
-    for _ in range(3):
+    walls = []
+    for _ in range(8):
         t0 = time.perf_counter()
         sample = sampler.run(N_COLLECT, N_WARMUP)
         jax.block_until_ready(sample)
-        wall = min(wall, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
 
     rhat, ess = split_rhat_mean_ess(sample)
     min_ess = float(jnp.min(ess))
@@ -78,15 +103,20 @@ def main():
         "n_workers": REF_THREADS,
         "measured_cores": n_cores,
         "wall_s": wall,
+        "walls_s": [round(w, 4) for w in walls],
         "min_ess": min_ess,
         "max_rhat": rhat_max,
         "n_chains": N_CHAINS,
         "n_collect": N_COLLECT,
         "n_warmup": N_WARMUP,
+        "backend": "xla",
+        "max_tree_depth": MAX_DEPTH,
         "note": (
-            f"JAX-CPU surrogate of the Rust reference's threaded NUTS: "
+            f"JAX-CPU surrogate of the Rust reference's threaded NUTS "
+            f"({WORKLOAD} workload, dynamic-tree backend pinned): "
             f"{N_CHAINS} chains on {n_cores} core(s), measured "
-            f"{per_core:,.0f} min-ESS/s/core, scaled x{REF_THREADS} "
+            f"{per_core:,.0f} min-ESS/s/core (best of {len(walls)} reps; "
+            f"shared-VM wall variance up to ~4x), scaled x{REF_THREADS} "
             f"assuming linear thread scaling (reference-favorable)"
         ),
     }
@@ -95,8 +125,19 @@ def main():
         "docs",
         "CPU_BASELINE.json",
     )
+    # merge: the gauss record stays top-level (bench.py's default read);
+    # logistic goes under its own key; unrelated keys (scaling_check) persist
+    try:
+        with open(out) as f:
+            existing = json.load(f)
+    except (OSError, ValueError):
+        existing = {}
+    if WORKLOAD == "gauss":
+        existing.update(rec)
+    else:
+        existing["logistic"] = rec
     with open(out, "w") as f:
-        json.dump(rec, f, indent=2)
+        json.dump(existing, f, indent=2)
     print(json.dumps(rec, indent=2))
     print(f"wrote {out}", file=sys.stderr)
 
