@@ -76,8 +76,8 @@ MAX_TREE_DEPTH = int(os.environ.get("GMT_BENCH_MAX_DEPTH", 4))
 # ops/static_tree.py — same transition law as the dynamic tree,
 # oracle-verified, 1.28x its end-to-end min-ESS/s at the cap-4 headline
 # config; needs MAX_TREE_DEPTH <= 8) | "xla" (dynamic tree — use for
-# deep caps) | "pallas" (fused kernel; GMT_BENCH_BLOCK chains/kernel
-# block, GMT_BENCH_VMEM MB).
+# deep caps).  The fused Pallas NUTS backend was retired round 4
+# (docs/MOSAIC_RULES.md).
 _WARMUP_DEPTH = int(os.environ.get("GMT_BENCH_WARMUP_DEPTH", 4))
 BACKEND = os.environ.get(
     "GMT_BENCH_BACKEND",
@@ -175,14 +175,6 @@ def build_sampler():
         # GMT_BENCH_CKPT_BF16=1: bf16 checkpoint stacks (U-turn sign tests
         # only; R-hat/min-ESS gated like every experiment knob)
         ckpt_dtype=jnp.bfloat16 if os.environ.get("GMT_BENCH_CKPT_BF16") == "1" else None,
-        pallas_options={
-            k: int(os.environ[e])
-            for k, e in (
-                ("block_chains", "GMT_BENCH_BLOCK"),
-                ("vmem_limit_mb", "GMT_BENCH_VMEM"),
-            )
-            if e in os.environ
-        },
     )
 
 

@@ -1,6 +1,5 @@
 from .pallas_hmc import fused_hmc_run
 from .pallas_mh import fused_mh_run
-from .pallas_nuts2 import pallas_nuts2_step
 from .tree import (
     MassMatrix,
     build_subtree,

@@ -161,22 +161,27 @@ class NUTS(BatchSampler):
     mass_config : :class:`NUTSMassMatrixConfig`; default disabled, matching
         the reference façade (generic_nuts.rs:370-377) — pass
         ``NUTSMassMatrixConfig()`` for Stan-style diagonal adaptation.
-    backend : ``"xla"`` (vmapped while_loop tree), ``"pallas"`` (fused
-        VMEM-resident kernel with a block-synchronized tree schedule,
-        :mod:`..ops.pallas_nuts2`; ``"pallas2"`` is accepted as an alias —
-        the flat-schedule v1 kernel it distinguished was retired in round
-        3), or ``"static"`` (static-window schedule,
-        :mod:`..ops.static_tree`: all 2^max_depth − 1 leapfrogs run in a
-        slim fixed-length scan, tree logic evaluated retrospectively from
-        a Gram matrix — fastest at small depth caps where trees are
-        near-saturated; wasteful at large caps).  The fused backend is
-        TPU only and identity/diagonal mass only; the static backend
-        supports dense mass too, and its RNG stream differs from the xla
-        tree's (identical transition law; see the ops/static_tree.py
+    backend : ``"xla"`` (vmapped while_loop tree) or ``"static"``
+        (static-window schedule, :mod:`..ops.static_tree`: all
+        2^max_depth − 1 leapfrogs run in a slim fixed-length loop, tree
+        logic evaluated retrospectively from a Gram matrix).  The static
+        backend supports dense mass too; its RNG stream differs from the
+        xla tree's (identical transition law; see the ops/static_tree.py
         contract).
-    pallas_options : optional dict of fused-kernel tuning knobs:
-        ``block_chains`` (chains per kernel block) and ``vmem_limit_mb``
-        (Mosaic scoped-VMEM budget).
+
+        Measured guidance (v5e crossover sweep, 10240 chains × 100-d,
+        docs/BENCH_HISTORY.md round 4): pick **static whenever
+        max_tree_depth ≤ 6** and trees either saturate the cap (the
+        adapted headline regime — static won the round-3 bench 1.5×) or
+        vary in depth (Neal's funnel: static 1.85–2.0× the xla tree at
+        caps 4–6, because under vmap every chain pays the batch-max tree
+        anyway while static's per-leaf machinery is leaner).  Pick xla
+        when trees self-terminate uniformly far below the cap (fixed
+        well-tuned ε on an easy target: xla won 2.3–3.4× at caps 5–8 with
+        uniform depth-3 trees) or when you need caps > 8 (where the
+        always-full static window is both wasteful and too large a
+        program).  Two fused Pallas NUTS kernels were built, measured and
+        retired (rounds 3–4); the record lives in docs/MOSAIC_RULES.md.
     warmup_tree_depth : optional smaller doubling cap used during warmup
         only.  Pre-adaptation metrics make early trees hit the depth cap,
         and under vmap every chain pays the deepest tree in the batch; a
@@ -195,7 +200,6 @@ class NUTS(BatchSampler):
         mass_config: NUTSMassMatrixConfig | None = None,
         backend: str = "xla",
         warmup_tree_depth: int | None = None,
-        pallas_options: dict | None = None,
         ckpt_dtype=None,
     ):
         self.target = as_logp_fn(target)
@@ -219,14 +223,16 @@ class NUTS(BatchSampler):
         self.mass_config = cfg
         self._dense = cfg.adaptation == "dense"
         self._find_eps_jit = None  # lazily-built jitted ε₀ search (_init_carry)
-        if backend not in ("xla", "pallas", "pallas2", "static"):
-            raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pallas2":  # alias kept from the two-kernel era
-            backend = "pallas"
-        if backend == "pallas" and self._dense:
+        if backend in ("pallas", "pallas2"):
             raise ValueError(
-                "the pallas backend supports identity/diagonal mass only"
+                "the fused Pallas NUTS backend was retired (round 4): its "
+                "varied-depth niche is owned by backend='static' "
+                "(1.85-2x the xla tree on hard geometries at caps 4-6; "
+                "docs/MOSAIC_RULES.md has the full record) — use 'static' "
+                "for caps <= 8, 'xla' for deeper trees"
             )
+        if backend not in ("xla", "static"):
+            raise ValueError(f"unknown backend {backend!r}")
         if backend == "static" and max(
             self.max_tree_depth, self.warmup_tree_depth
         ) > 8:
@@ -239,7 +245,6 @@ class NUTS(BatchSampler):
                 "caps) or use backend='xla'"
             )
         self.backend = backend
-        self.pallas_options = dict(pallas_options or {})
         # Optional reduced-precision checkpoint stacks for the XLA tree
         # (e.g. jnp.bfloat16): the stacks feed only U-turn sign tests; see
         # ops/tree.py build_subtree for the documented deviation.
@@ -339,54 +344,7 @@ class NUTS(BatchSampler):
         dtype = carry["pos"].dtype
         m1 = (m + 1).astype(dtype)  # 1-based step number
 
-        if self.backend == "pallas":
-            from ..ops.tree import TreeStepResult
-            from ..ops.pallas_nuts2 import pallas_nuts2_step as step_kernel
-
-            # Distinct hardware-PRNG seed per step (golden-ratio stride,
-            # wrapped into int32 range).
-            seed = (
-                jax.random.key_data(self._key).ravel()[-1].astype(jnp.int32)
-                + m.astype(jnp.int32) * jnp.int32(-1640531535)
-            )
-            def run_kernel_at(depth):
-                return step_kernel(
-                    self.target,
-                    carry["pos"],
-                    carry["lp"],
-                    carry["grad"],
-                    carry["eps"],
-                    carry["mass"].inv,
-                    carry["mass"].scale,
-                    seed,
-                    max_depth=depth,
-                    **self.pallas_options,
-                )
-
-            if self.warmup_tree_depth != self.max_tree_depth:
-                # scalar phase switch, one fused kernel per depth cap
-                (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
-                    jax.lax.cond(
-                        m < sched.n_discard,
-                        lambda: run_kernel_at(self.warmup_tree_depth),
-                        lambda: run_kernel_at(self.max_tree_depth),
-                    )
-                )
-            else:
-                (pos, lp, grad, alpha, n_alpha, leapfrogs, depth, diverged) = (
-                    run_kernel_at(self.max_tree_depth)
-                )
-            tree = TreeStepResult(
-                pos=pos.astype(dtype),
-                lp=lp.astype(dtype),
-                grad=grad.astype(dtype),
-                alpha=alpha.astype(dtype),
-                n_alpha=n_alpha,
-                depth=depth,
-                diverged=diverged,
-                leapfrogs=leapfrogs,
-            )
-        elif self.backend == "static":
+        if self.backend == "static":
             from ..ops.tree import TreeStepResult
             from ..ops.static_tree import static_nuts_step
 

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Hardware experiment: static vs dynamic (vs fused-Pallas) NUTS crossover
-(VERDICT r3 #3 and #6).
+"""Hardware experiment: static vs dynamic NUTS crossover (VERDICT r3 #3
+and #6; the round-4 run of this sweep also measured the since-retired
+fused-Pallas NUTS kernel's niche out of existence — docs/MOSAIC_RULES.md).
 
 For each (target, depth cap, backend) combo: K full transitions at a fixed
 step size and mass matrix — identical transition law across backends — and
@@ -15,8 +16,7 @@ diagonal mass) and "funnel" (100-d Neal's funnel, identity mass, a
 varied-depth hard geometry).
 
 Env: GMT_EXP_CHAINS (10240), GMT_EXP_DIM (100), GMT_EXP_CAPS (4,5,6,8),
-GMT_EXP_TARGETS (gauss,funnel), GMT_EXP_BACKENDS (xla,static,pallas —
-pallas runs only on the funnel caps unless GMT_EXP_PALLAS_ALL=1),
+GMT_EXP_TARGETS (gauss,funnel), GMT_EXP_BACKENDS (xla,static),
 GMT_EXP_EPS_GAUSS (0.5), GMT_EXP_EPS_FUNNEL (0.2), GMT_EXP_STEPS (64;
 scaled down automatically for deep caps), GMT_EXP_PLATFORM=cpu for smoke.
 
@@ -44,7 +44,7 @@ N = int(os.environ.get("GMT_EXP_CHAINS", 10_240))
 DIM = int(os.environ.get("GMT_EXP_DIM", 100))
 CAPS = [int(c) for c in os.environ.get("GMT_EXP_CAPS", "4,5,6,8").split(",")]
 TARGETS = os.environ.get("GMT_EXP_TARGETS", "gauss,funnel").split(",")
-BACKENDS = os.environ.get("GMT_EXP_BACKENDS", "xla,static,pallas").split(",")
+BACKENDS = os.environ.get("GMT_EXP_BACKENDS", "xla,static").split(",")
 EPS_GAUSS = float(os.environ.get("GMT_EXP_EPS_GAUSS", 0.5))
 EPS_FUNNEL = float(os.environ.get("GMT_EXP_EPS_FUNNEL", 0.2))
 BASE_STEPS = int(os.environ.get("GMT_EXP_STEPS", 64))
@@ -118,32 +118,21 @@ def run_combo(tname, logp, minv, mscale, eps_s, cap, backend, steps):
                 keys, p, l, g, eps_b, inv_b, scale_b, vg, cap
             )
 
-    else:  # pallas
-        from general_mcmc_tpu.ops.pallas_nuts2 import pallas_nuts2_step
-
-        def one(seed, p, l, g):
-            r = pallas_nuts2_step(
-                logp, p, l, g, eps_b, inv_b, scale_b, seed=seed,
-                max_depth=cap, block_chains=256, vmem_limit_mb=100,
-            )
-            # normalize to the TreeStepResult field order used below
-            class R:  # noqa: N801 — ad-hoc record
-                pos, lp, grad = r[0], r[1], r[2]
-                depth, diverged, leapfrogs = r[6], r[7], r[5]
-
-            return R
+    else:
+        raise ValueError(
+            f"unknown backend {backend!r} (the fused Pallas NUTS kernel was "
+            "retired in round 4 — this sweep's funnel results are why; see "
+            "docs/MOSAIC_RULES.md)"
+        )
 
     @jax.jit
     def many(pos, lp, grad):
         def body(carry, k):
             p, l, g, lf, dep, div = carry
-            if backend == "pallas":
-                r = one(k, p, l, g)
-            else:
-                keys = jax.random.split(
-                    jax.random.fold_in(jax.random.PRNGKey(SEED), k), N
-                )
-                r = one(keys, p, l, g)
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(SEED), k), N
+            )
+            r = one(keys, p, l, g)
             return (
                 r.pos, r.lp, r.grad,
                 lf + jnp.sum(r.leapfrogs.astype(jnp.float32)),
@@ -181,12 +170,6 @@ def main():
             steps = max(8, BASE_STEPS * 16 // (1 << cap))
             for backend in BACKENDS:
                 if backend == "static" and cap > 8:
-                    continue
-                if (
-                    backend == "pallas"
-                    and tname != "funnel"
-                    and os.environ.get("GMT_EXP_PALLAS_ALL") != "1"
-                ):
                     continue
                 try:
                     run_combo(tname, logp, minv, mscale, eps_s, cap, backend, steps)

@@ -326,8 +326,8 @@ def test_static_backend_guards():
             jnp.ones(4), jnp.ones((4, 2)), jnp.ones((4, 2)),
             lambda x: (-0.5 * jnp.sum(x * x), -x), 9,
         )
-    with pytest.raises(ValueError, match="diagonal"):
-        NUTS(  # pallas stays diag-only; static supports dense (test below)
+    with pytest.raises(ValueError, match="retired"):
+        NUTS(  # the fused NUTS kernel was retired round 4 (MOSAIC_RULES.md)
             t, init_with_seed(4, 2, 0), backend="pallas", max_tree_depth=4,
             mass_config=NUTSMassMatrixConfig(adaptation="dense", dense_max_dim=8),
         )
