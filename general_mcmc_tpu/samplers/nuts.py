@@ -170,15 +170,15 @@ class NUTS(BatchSampler):
         contract).
 
         Measured guidance (v5e crossover sweep, 10240 chains × 100-d,
-        docs/BENCH_HISTORY.md round 4): pick **static whenever
-        max_tree_depth ≤ 6** and trees either saturate the cap (the
-        adapted headline regime — static won the round-3 bench 1.5×) or
-        vary in depth (Neal's funnel: static 1.85–2.0× the xla tree at
-        caps 4–6, because under vmap every chain pays the batch-max tree
-        anyway while static's per-leaf machinery is leaner).  Pick xla
-        when trees self-terminate uniformly far below the cap (fixed
-        well-tuned ε on an easy target: xla won 2.3–3.4× at caps 5–8 with
-        uniform depth-3 trees) or when you need caps > 8 (where the
+        docs/BENCH_HISTORY.md round 4): pick **static when the depth cap
+        is within ~1 of the typical tree depth** (saturated regime — at
+        cap 4 with depth-3.98 trees static measured 1.66× the xla tree;
+        the round-3 bench 1.5× end-to-end) **or when depths vary across
+        chains** (Neal's funnel: static 1.85–2.0× at caps 4–6, because
+        under vmap every chain pays the batch-max tree anyway while
+        static's per-leaf machinery is leaner).  Pick xla when trees
+        self-terminate uniformly well below the cap (uniform depth-3
+        trees under caps 5–8: xla 1.4–3.4×) or for caps > 8 (the
         always-full static window is both wasteful and too large a
         program).  Two fused Pallas NUTS kernels were built, measured and
         retired (rounds 3–4); the record lives in docs/MOSAIC_RULES.md.
