@@ -87,6 +87,26 @@ samplers/nuts.py):
 Identity, diagonal, and dense mass matrices are supported (``dense=True``
 switches the velocity maps to per-chain batched matvecs; the Gram and the
 retro phase are mass-agnostic).
+
+Beyond-reference extension (``multinomial=True``): Stan's multinomial /
+biased-progressive proposal (Betancourt 2017, app. A.3) — the same law as
+``ops/tree.py``'s ``multinomial=True`` mode.  The retro machinery is the
+count→weight generalization of the slice path: leaf weights
+``w = exp(joint − joint₀)`` replace the 0/1 slice indicators, the
+in-subtree pick becomes the first weighted-cumsum crossing of
+``τ = u·W_sub`` instead of the count crossing of ``⌈u·n_sub⌉``, and the
+across-doubling swap ``u·n < n'`` becomes ``u·W < W'`` (= the biased
+``min(1, W'/W)`` coin).  All weights are computed relative to the
+per-chain window maximum joint (selection and swap ratios are invariant
+to that shift), so they live in (0, 1] and cannot overflow; the weight
+cumsums and row sums run at ``Precision.HIGHEST`` because real-valued
+operands are not bf16-exact (unlike the slice path's {0,1} masks).  The
+slice draw ``expo`` is still consumed so the RNG stream is identical
+across modes.  Degenerate corner (documented): if the window maximum
+exceeds ``joint₀`` by more than ~88 units (f32 exp underflow of the
+initial leaf's weight) *and* every subtree weight underflows too, the
+chain keeps its current state for that transition — statistically
+immaterial (both laws are already degenerate at such energy errors).
 """
 
 from __future__ import annotations
@@ -145,6 +165,7 @@ def static_nuts_step(
     max_depth: int,
     *,
     dense: bool = False,
+    multinomial: bool = False,
     randoms: dict | None = None,
 ) -> StaticStepResult:
     """One NUTS transition for the whole chain batch.
@@ -163,6 +184,8 @@ def static_nuts_step(
     vg_fn : per-chain ``value_and_grad`` of the target log density
         (vmapped internally).
     max_depth : static doubling cap J ≥ 1; the window holds 2^J leaves.
+    multinomial : use Stan's multinomial/biased-progressive proposal
+        instead of the reference's slice sampler (module docstring).
     randoms : optional dict overriding the per-chain draws (oracle
         testing): ``mom0`` [B, d] momenta, ``expo`` [B] Exp(1) slice
         draws, ``offset`` [B] int window offsets, ``u_sel``/``u_swap``
@@ -413,8 +436,27 @@ def static_nuts_step(
             x, jnp.ones((T >> k, 1), dtype), (((1,), (0,)), ((), ()))
         )[:, 0]
 
-    bad_f = jnp.where((logu[:, None] - delta) < joint_w, zero, one)
-    valid_f = jnp.where(logu[:, None] < joint_w, one, zero)
+    if multinomial:
+        # Divergence reference is joint₀ (module docstring); weights are
+        # computed relative to the per-chain window max joint — selection
+        # and swap ratios are shift-invariant, and every weight lands in
+        # (0, 1] so nothing can overflow.  Non-finite joints get weight 0
+        # (such leaves are bad_f and gated by the first-failure mask; the
+        # zero weight additionally keeps the cumsums NaN-free).
+        bad_f = jnp.where((joint0[:, None] - delta) < joint_w, zero, one)
+        jmax = jnp.maximum(
+            jnp.max(
+                jnp.where(jnp.isfinite(joint_w), joint_w, -jnp.inf), axis=1
+            ),
+            joint0,
+        )
+        w_f = jnp.where(
+            jnp.isfinite(joint_w), jnp.exp(joint_w - jmax[:, None]), zero
+        )
+        w_init = jnp.exp(joint0 - jmax)  # the initial leaf, same scaling
+    else:
+        bad_f = jnp.where((logu[:, None] - delta) < joint_w, zero, one)
+        valid_f = jnp.where(logu[:, None] < joint_w, one, zero)
     a_w = jnp.minimum(one, jnp.exp(joint_w - joint0[:, None]))
 
     # Block-triangular cumulation matrices, one pair per level: forward
@@ -437,7 +479,9 @@ def static_nuts_step(
     nf_minus = jnp.zeros((B, T), dtype)
 
     # -- retrospective doubling loop (all [B, T]-sized ops) -----------------
-    n = jnp.ones((B,), jnp.int32)
+    # ``n`` is the trajectory total: slice-valid leaf count (int), or the
+    # shifted weight total (float) in multinomial mode.
+    n = w_init if multinomial else jnp.ones((B,), jnp.int32)
     s = jnp.ones((B,), bool)
     prop_w = offset
     diverged = jnp.zeros((B,), bool)
@@ -482,24 +526,56 @@ def static_nuts_step(
         # NaN at the failing leaf — where-select, then sum
         alpha_j = rowsum(jnp.where(ev > 0.5, a_w, zero), exact=True)
         n_alpha_j = rowsum(ev).astype(jnp.int32)
-        n_sub_f = rowsum(ev * valid_f)
-        n_sub = n_sub_f.astype(jnp.int32)
         div_j = rowsum(ff * bad_f) > 0.5
 
-        # uniform proposal among slice-valid leaves (== reservoir law):
-        # the first n_sub valid leaves in travel order are exactly the
-        # valid evaluated ones, so an unmasked travel cumsum suffices
-        k_idx = jnp.minimum(
-            (u_sel[:, j] * n_sub_f).astype(jnp.int32),
-            jnp.maximum(n_sub - 1, 0),
-        )
-        cum = jnp.where(vcol, valid_f @ _tri[j][1], valid_f @ _tri[j][0])
-        k1 = (k_idx + 1).astype(dtype)[:, None]
-        pick = valid_f * active * jnp.where(jnp.abs(cum - k1) < 0.5, one, zero)
-        w_pick = rowsum(pick * Wf).astype(jnp.int32)
+        if multinomial:
+            # multinomial pick ∝ w over the subtree: first weighted-cumsum
+            # crossing of τ = u·W_sub.  Real-valued operands are not
+            # bf16-exact, so the weight reductions run at HIGHEST (the
+            # {0,1}/index rowsums elsewhere stay at the exact default).
+            evw = ev * w_f
+            w_sub = rowsum(evw, exact=True)
+            hi = jax.lax.Precision.HIGHEST
+            cum = jnp.where(
+                vcol,
+                jnp.matmul(evw, _tri[j][1], precision=hi),
+                jnp.matmul(evw, _tri[j][0], precision=hi),
+            )
+            tau = (u_sel[:, j] * w_sub)[:, None]
+            pick = active * jnp.where(
+                (cum >= tau) & (cum - evw < tau), one, zero
+            )
+            w_pick = rowsum(pick * Wf).astype(jnp.int32)
+            # across-doubling swap w.p. min(1, W'/W); the rowsum(pick)
+            # guard covers the measure-~1e-7 f32 corner where τ rounds
+            # past the last cumsum entry and no leaf crosses.
+            take = (
+                s_sub
+                & (u_swap[:, j] * n < w_sub)
+                & (rowsum(pick) > 0.5)
+            )
+            n_add = w_sub
+        else:
+            n_sub_f = rowsum(ev * valid_f)
+            n_sub = n_sub_f.astype(jnp.int32)
 
-        # across-doubling swap w.p. min(1, n'/n)
-        take = s_sub & (u_swap[:, j] * n.astype(dtype) < n_sub_f)
+            # uniform proposal among slice-valid leaves (== reservoir law):
+            # the first n_sub valid leaves in travel order are exactly the
+            # valid evaluated ones, so an unmasked travel cumsum suffices
+            k_idx = jnp.minimum(
+                (u_sel[:, j] * n_sub_f).astype(jnp.int32),
+                jnp.maximum(n_sub - 1, 0),
+            )
+            cum = jnp.where(vcol, valid_f @ _tri[j][1], valid_f @ _tri[j][0])
+            k1 = (k_idx + 1).astype(dtype)[:, None]
+            pick = valid_f * active * jnp.where(
+                jnp.abs(cum - k1) < 0.5, one, zero
+            )
+            w_pick = rowsum(pick * Wf).astype(jnp.int32)
+
+            # across-doubling swap w.p. min(1, n'/n)
+            take = s_sub & (u_swap[:, j] * n.astype(dtype) < n_sub_f)
+            n_add = n_sub
         prop_w = jnp.where(executed & take, w_pick, prop_w)
 
         # global U-turn across the merged window = the level-(j+1) dyadic
@@ -514,7 +590,7 @@ def static_nuts_step(
         s_new = s_sub & ~g_turn
 
         diverged = diverged | (executed & div_j)
-        n = jnp.where(executed, n + n_sub, n)
+        n = jnp.where(executed, n + n_add, n)
         alpha_last = jnp.where(executed, alpha_j, alpha_last)
         n_alpha_last = jnp.where(executed, n_alpha_j, n_alpha_last)
         depth = depth + executed.astype(jnp.int32)

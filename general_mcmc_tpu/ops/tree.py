@@ -29,6 +29,26 @@ Deviations (documented): trajectory depth is capped at ``max_depth``
 (Stan-style; the reference doubles unboundedly), and the RNG stream is
 Threefry-based so individual draws differ from the reference's SmallRng.
 
+Beyond-reference extension (``multinomial=True``, off by default): Stan's
+modern multinomial/biased-progressive proposal (Betancourt 2017, app. A.3;
+Stan ``base_nuts``) instead of the reference's slice sampler.  Same
+trajectories and U-turn rule; what changes is the proposal law —
+
+- leaf weight ``w = exp(joint - joint₀)`` replaces the 0/1 slice
+  indicator (the slice variable is still *drawn* so the RNG stream stays
+  aligned across modes, but its value is unused);
+- within a subtree, progressive weighted reservoir sampling (replace the
+  running proposal with leaf i w.p. ``wᵢ / Σ_{k≤i} w_k``) composes to a
+  multinomial draw ∝ w over the subtree's leaves;
+- across doublings, the new subtree's proposal is taken with the biased
+  probability ``min(1, W'/W)`` (favoring jumps away from the start);
+- divergence is ``joint - joint₀ < -Δ_max`` (the slice check with
+  ``logu`` replaced by ``joint₀``).
+
+All weight accounting runs in log space (``logaddexp`` totals,
+``log u < lw' - lw`` comparisons), so large energy errors cannot
+overflow the f32 weights.
+
 All functions here are written for a **single chain** and vmapped by the
 sampler; JAX's while_loop batching rule handles divergent per-chain control
 flow by masked execution.
@@ -206,7 +226,7 @@ class SubtreeResult(NamedTuple):
     prop_pos: jax.Array
     prop_lp: jax.Array
     prop_grad: jax.Array
-    n: jax.Array  # number of slice-valid leaves
+    n: jax.Array  # number of slice-valid leaves (multinomial: log Σ w, f32)
     s: jax.Array  # subtree still valid (no U-turn, no divergence)
     diverged: jax.Array
     alpha: jax.Array  # Σ min(1, exp(joint - joint₀)) over evaluated leaves
@@ -229,6 +249,7 @@ def build_subtree(
     max_depth: int,
     collect_edges: bool = False,
     ckpt_dtype=None,
+    multinomial: bool = False,
 ) -> SubtreeResult:
     """Build one subtree of 2^depth leapfrog leaves in direction ``v`` from
     the endpoint ``(pos, mom, grad)``.  Precondition: ``depth < max_depth``
@@ -266,6 +287,10 @@ def build_subtree(
     vf = v.astype(dtype)
     delta_max = jnp.asarray(DELTA_MAX, dtype)
     one = jnp.asarray(1.0, dtype)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    # Divergence reference: the slice variable in slice mode, joint₀ in
+    # multinomial mode (module docstring, "Beyond-reference extension").
+    div_ref = joint0 if multinomial else logu
 
     # One checkpoint slot per level.  Slot count: a subtree built at
     # doubling j has depth j ≤ max_depth-1 (the j=0 doubling is peeled),
@@ -290,7 +315,7 @@ def build_subtree(
         mom=mom,
         grad=grad,
         prop_pos=zerod,
-        n=jnp.asarray(0, jnp.int32),
+        n=neg_inf if multinomial else jnp.asarray(0, jnp.int32),
         s=jnp.asarray(True),
         diverged=jnp.asarray(False),
         alpha=jnp.asarray(0.0, dtype),
@@ -328,12 +353,19 @@ def build_subtree(
         )
         velA = inv_mass_mul(mass, mA, dense)
         jointA = lpA - 0.5 * jnp.dot(mA, velA)
-        validA = logu < jointA
-        okA = (logu - delta_max) < jointA
-
-        nA = c["n"] + validA.astype(jnp.int32)
+        okA = (div_ref - delta_max) < jointA
         uA = jax.random.uniform(k_a, (), dtype)
-        takeA = (i == 0) | (validA & (uA * nA.astype(dtype) < one))
+        if multinomial:
+            # Weighted reservoir: replace w.p. w_A / Σ_{k≤A} w_k, in log
+            # space.  A -inf/-inf (empty-total) comparison is NaN → False,
+            # which the (i == 0) guard covers for the first leaf.
+            lwA = jnp.where(jnp.isfinite(jointA), jointA - joint0, neg_inf)
+            nA = jnp.logaddexp(c["n"], lwA)
+            takeA = (i == 0) | (jnp.log(uA) < lwA - nA)
+        else:
+            validA = logu < jointA
+            nA = c["n"] + validA.astype(jnp.int32)
+            takeA = (i == 0) | (validA & (uA * nA.astype(dtype) < one))
         prop_pos = jnp.where(takeA, pA, c["prop_pos"])
 
         slot = _ckpt_idx_max(i)  # popcount(i >> 1)
@@ -350,12 +382,18 @@ def build_subtree(
         pB, mB, lpB, gB = leapfrog_chain(vg_fn, pA, mA, gA, eps_v, mass, dense)
         velB = inv_mass_mul(mass, mB, dense)
         jointB = lpB - 0.5 * jnp.dot(mB, velB)
-        validB = (logu < jointB) & do_b
-        okB = (logu - delta_max) < jointB
-
-        nB = nA + validB.astype(jnp.int32)
+        okB = (div_ref - delta_max) < jointB
         uB = jax.random.uniform(k_b, (), dtype)
-        takeB = validB & (uB * nB.astype(dtype) < one)
+        if multinomial:
+            lwB = jnp.where(
+                do_b & jnp.isfinite(jointB), jointB - joint0, neg_inf
+            )
+            nB = jnp.logaddexp(nA, lwB)
+            takeB = jnp.log(uB) < lwB - nB
+        else:
+            validB = (logu < jointB) & do_b
+            nB = nA + validB.astype(jnp.int32)
+            takeB = validB & (uB * nB.astype(dtype) < one)
         prop_pos = jnp.where(takeB, pB, prop_pos)
 
         alpha = c["alpha"] + jnp.minimum(one, jnp.exp(jointA - joint0))
@@ -452,13 +490,15 @@ class TreeStepResult(NamedTuple):
     leapfrogs: jax.Array  # total gradient evaluations this step
 
 
-def _first_doubling(c, eps, logu, joint0, mass, dense, vg_fn):
+def _first_doubling(c, eps, logu, joint0, mass, dense, vg_fn,
+                    multinomial=False):
     """The j=0 doubling as straight-line code: one leapfrog, no checkpoint
     stack, no leaf-B evaluation.  Consumes the same outer key splits as the
     generic loop body, so the transition's RNG stream (and therefore the
     whole trajectory) is bit-identical to the un-peeled version."""
     dtype = c["pos_m"].dtype
     one = jnp.asarray(1.0, dtype)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
     key, kv, kswap, _ktree = jax.random.split(c["key"], 4)
     v = jnp.where(
         jax.random.uniform(kv, (), dtype) < 0.5,
@@ -472,9 +512,8 @@ def _first_doubling(c, eps, logu, joint0, mass, dense, vg_fn):
         vg_fn, c["pos_m"], c["mom_m"], c["grad_m"], eps_v, mass, dense
     )
     jointA = lpA - 0.5 * jnp.dot(mA, inv_mass_mul(mass, mA, dense))
-    validA = logu < jointA
-    okA = (logu - jnp.asarray(DELTA_MAX, dtype)) < jointA
-    nA = validA.astype(jnp.int32)
+    div_ref = joint0 if multinomial else logu
+    okA = (div_ref - jnp.asarray(DELTA_MAX, dtype)) < jointA
     alphaA = jnp.minimum(one, jnp.exp(jointA - joint0))
 
     pos_m = jnp.where(backward, pA, c["pos_m"])
@@ -485,7 +524,14 @@ def _first_doubling(c, eps, logu, joint0, mass, dense, vg_fn):
     grad_p = jnp.where(backward, c["grad_p"], gA)
 
     u = jax.random.uniform(kswap, (), dtype)
-    take = okA & (u * c["n"].astype(dtype) < nA.astype(dtype))
+    if multinomial:
+        lwA = jnp.where(jnp.isfinite(jointA), jointA - joint0, neg_inf)
+        take = okA & (jnp.log(u) < lwA - c["n"])  # c["n"] = log W = 0 here
+        n_new = jnp.logaddexp(c["n"], lwA)
+    else:
+        nA = (logu < jointA).astype(jnp.int32)
+        take = okA & (u * c["n"].astype(dtype) < nA.astype(dtype))
+        n_new = c["n"] + nA
     s = okA & _stop_criterion(pos_m, pos_p, mom_m, mom_p, mass, dense)
     return dict(
         j=c["j"] + 1,
@@ -497,7 +543,7 @@ def _first_doubling(c, eps, logu, joint0, mass, dense, vg_fn):
         mom_p=mom_p,
         grad_p=grad_p,
         prop_pos=jnp.where(take, pA, c["prop_pos"]),
-        n=c["n"] + nA,
+        n=n_new,
         s=s,
         diverged=c["diverged"] | ~okA,
         alpha=alphaA,
@@ -517,11 +563,14 @@ def nuts_tree_step(
     vg_fn: Callable,
     max_depth: int,
     ckpt_dtype=None,
+    multinomial: bool = False,
 ) -> TreeStepResult:
     """One full NUTS transition for one chain (GenericNUTSChain::step,
     generic_nuts.rs:755-880): sample momentum and slice variable, then double
     the trajectory in random directions until U-turn/divergence (or the
-    ``max_depth`` cap)."""
+    ``max_depth`` cap).  With ``multinomial=True``, Stan's multinomial
+    proposal replaces the slice sampler (module docstring); the slice
+    variable is still drawn so the RNG stream is identical across modes."""
     dtype = pos.dtype
     k_mom, k_slice, k_loop = jax.random.split(key, 3)
     mom0 = sample_momentum(k_mom, mass, dense)
@@ -538,7 +587,10 @@ def nuts_tree_step(
         mom_p=mom0,
         grad_p=grad,
         prop_pos=pos,
-        n=jnp.asarray(1, jnp.int32),
+        # log W = 0 (the initial leaf's weight exp(joint₀-joint₀) = 1) in
+        # multinomial mode; the slice-valid leaf count (the initial leaf is
+        # always slice-valid) otherwise.
+        n=jnp.asarray(0.0, dtype) if multinomial else jnp.asarray(1, jnp.int32),
         s=jnp.asarray(True),
         diverged=jnp.asarray(False),
         alpha=jnp.asarray(0.0, dtype),
@@ -560,7 +612,8 @@ def nuts_tree_step(
     # RNG stream is identical to the un-peeled loop; values agree up to
     # XLA fusion rounding (a few ulp — FMA contraction differs between
     # the loop body and straight-line compilations).
-    init = _first_doubling(init, eps, logu, joint0, mass, dense, vg_fn)
+    init = _first_doubling(init, eps, logu, joint0, mass, dense, vg_fn,
+                           multinomial=multinomial)
 
     def cond(c):
         return c["s"] & (c["j"] < max_depth)
@@ -580,6 +633,7 @@ def nuts_tree_step(
         sub = build_subtree(
             ktree, pos0, mom0_, grad0, v, c["j"], eps, logu, joint0, mass,
             dense, vg_fn, max_depth, ckpt_dtype=ckpt_dtype,
+            multinomial=multinomial,
         )
 
         pos_m = jnp.where(backward, sub.end_pos, c["pos_m"])
@@ -589,9 +643,15 @@ def nuts_tree_step(
         mom_p = jnp.where(backward, c["mom_p"], sub.end_mom)
         grad_p = jnp.where(backward, c["grad_p"], sub.end_grad)
 
-        # Across-doubling swap w.p. min(1, n'/n) (generic_nuts.rs:860-868).
+        # Across-doubling swap w.p. min(1, n'/n) (generic_nuts.rs:860-868);
+        # multinomial mode: the biased-progressive min(1, W'/W), log space.
         u = jax.random.uniform(kswap, (), dtype)
-        take = sub.s & (u * c["n"].astype(dtype) < sub.n.astype(dtype))
+        if multinomial:
+            take = sub.s & (jnp.log(u) < sub.n - c["n"])
+            n_new = jnp.logaddexp(c["n"], sub.n)
+        else:
+            take = sub.s & (u * c["n"].astype(dtype) < sub.n.astype(dtype))
+            n_new = c["n"] + sub.n
         prop_pos = jnp.where(take, sub.prop_pos, c["prop_pos"])
 
         s = sub.s & _stop_criterion(pos_m, pos_p, mom_m, mom_p, mass, dense)
@@ -605,7 +665,7 @@ def nuts_tree_step(
             mom_p=mom_p,
             grad_p=grad_p,
             prop_pos=prop_pos,
-            n=c["n"] + sub.n,
+            n=n_new,
             s=s,
             diverged=c["diverged"] | sub.diverged,
             alpha=sub.alpha,

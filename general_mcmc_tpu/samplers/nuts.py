@@ -187,6 +187,14 @@ class NUTS(BatchSampler):
         and under vmap every chain pays the deepest tree in the batch; a
         shallower warmup cap bounds that masked-lane waste without touching
         post-warmup sampling.  Default: same as ``max_tree_depth``.
+    proposal : ``"slice"`` (default — the reference's slice sampler,
+        generic_nuts.rs:764-768) or ``"multinomial"`` (Stan's modern
+        multinomial/biased-progressive proposal, Betancourt 2017 — a
+        beyond-reference extension; typically equal or better ESS per
+        gradient because leaves are weighted by exp(joint − joint₀)
+        instead of thresholded).  Same trajectories, U-turn rule, and
+        adaptation either way; supported by both backends (see
+        ops/tree.py and ops/static_tree.py for the law details).
     """
 
     def __init__(
@@ -201,6 +209,7 @@ class NUTS(BatchSampler):
         backend: str = "xla",
         warmup_tree_depth: int | None = None,
         ckpt_dtype=None,
+        proposal: str = "slice",
     ):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
@@ -245,6 +254,10 @@ class NUTS(BatchSampler):
                 "caps) or use backend='xla'"
             )
         self.backend = backend
+        if proposal not in ("slice", "multinomial"):
+            raise ValueError(f"unknown proposal {proposal!r}")
+        self.proposal = proposal
+        self._multinomial = proposal == "multinomial"
         # Optional reduced-precision checkpoint stacks for the XLA tree
         # (e.g. jnp.bfloat16): the stacks feed only U-turn sign tests; see
         # ops/tree.py build_subtree for the documented deviation.
@@ -362,6 +375,7 @@ class NUTS(BatchSampler):
                     self._vg,
                     depth,
                     dense=self._dense,
+                    multinomial=self._multinomial,
                 )
                 return TreeStepResult(
                     pos=r.pos, lp=r.lp, grad=r.grad, alpha=r.alpha,
@@ -385,6 +399,7 @@ class NUTS(BatchSampler):
                     return nuts_tree_step(
                         k, p, lp, g, e, mass, self._dense, self._vg, depth,
                         ckpt_dtype=self.ckpt_dtype,
+                        multinomial=self._multinomial,
                     )
 
                 return jax.vmap(go)(

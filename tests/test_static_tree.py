@@ -29,7 +29,8 @@ def _leapfrog_np(vg, pos, mom, grad, eps):
 _MASS_INV = None  # set per-oracle-call (single-chain diagonal)
 
 
-def oracle_static_step(vg, pos, lp, grad, eps, mass_inv, J, rnd):
+def oracle_static_step(vg, pos, lp, grad, eps, mass_inv, J, rnd,
+                       multinomial=False):
     """Single-chain numpy oracle of the static schedule."""
     global _MASS_INV
     _MASS_INV = mass_inv
@@ -64,8 +65,22 @@ def oracle_static_step(vg, pos, lp, grad, eps, mass_inv, J, rnd):
         diff = win_pos[b] - win_pos[a]
         return (np.dot(win_vel[a], diff) < 0) or (np.dot(win_vel[b], diff) < 0)
 
+    if multinomial:
+        # f32 weight arithmetic mirroring the jax op (shift by the window
+        # max; non-finite joints get weight 0)
+        finite = np.isfinite(win_joint)
+        jmax = np.float32(
+            max(joint0, win_joint[finite].max() if finite.any() else -np.inf)
+        )
+        wts = np.where(
+            finite, np.exp((win_joint - jmax).astype(np.float32)), 0.0
+        ).astype(np.float32)
+        n = np.float32(np.exp(np.float32(joint0 - jmax)))
+    else:
+        n = 1
+
     lo = hi = o
-    n, s = 1, True
+    s = True
     prop_w, diverged, depth = o, False, 0
     alpha_last, n_alpha_last = 0.0, 1
     for j in range(J):
@@ -75,8 +90,8 @@ def oracle_static_step(vg, pos, lp, grad, eps, mass_inv, J, rnd):
         v_neg = (o >> j) & 1 == 1
         w_m = [lo - 1 - t if v_neg else hi + 1 + t for t in range(L)]
         joint_t = win_joint[w_m]
-        ok_t = (logu - DELTA_MAX) < joint_t
-        valid_t = logu < joint_t
+        div_ref = joint0 if multinomial else logu
+        ok_t = (div_ref - DELTA_MAX) < joint_t
         turned_t = np.zeros(L, bool)
         for (ta, tb) in uturn_nodes(j):
             a, b = sorted((w_m[ta], w_m[tb]))
@@ -89,14 +104,25 @@ def oracle_static_step(vg, pos, lp, grad, eps, mass_inv, J, rnd):
             np.sum(np.minimum(1.0, np.exp(joint_t[evaluated] - joint0)))
         )
         n_alpha_last = t_fail + 1
-        n_sub = int(valid_t[evaluated].sum())
         if fail.any() and not ok_t[t_fail]:
             diverged = True
-        if s_sub and n_sub > 0:
-            k_idx = min(int(rnd["u_sel"][j] * n_sub), n_sub - 1)
-            t_pick = np.flatnonzero(valid_t)[k_idx]
-            if rnd["u_swap"][j] * n < n_sub:
-                prop_w = w_m[t_pick]
+        if multinomial:
+            w_t = (wts[w_m] * evaluated).astype(np.float32)
+            n_sub = np.float32(w_t.sum(dtype=np.float32))
+            if s_sub:
+                cum = np.cumsum(w_t, dtype=np.float32)
+                tau = np.float32(np.float32(rnd["u_sel"][j]) * n_sub)
+                cross = (cum >= tau) & ((cum - w_t) < tau)
+                if cross.any() and rnd["u_swap"][j] * n < n_sub:
+                    prop_w = w_m[int(np.argmax(cross))]
+        else:
+            valid_t = logu < joint_t
+            n_sub = int(valid_t[evaluated].sum())
+            if s_sub and n_sub > 0:
+                k_idx = min(int(rnd["u_sel"][j] * n_sub), n_sub - 1)
+                t_pick = np.flatnonzero(valid_t)[k_idx]
+                if rnd["u_swap"][j] * n < n_sub:
+                    prop_w = w_m[t_pick]
         n += n_sub
         depth += 1
         if v_neg:
@@ -128,8 +154,12 @@ def _gaussian(d, dtype=np.float32):
     return scales, logp, vg_np
 
 
-@pytest.mark.parametrize("J,eps_scale", [(3, 0.8), (4, 0.5), (1, 1.2)])
-def test_oracle_exact(J, eps_scale):
+@pytest.mark.parametrize(
+    "J,eps_scale,multinomial",
+    [(3, 0.8, False), (4, 0.5, False), (1, 1.2, False),
+     (3, 0.8, True), (4, 0.5, True), (1, 1.2, True)],
+)
+def test_oracle_exact(J, eps_scale, multinomial):
     d, B = 6, 96
     scales, logp, vg_np = _gaussian(d)
     vg = jax.value_and_grad(logp)
@@ -157,6 +187,7 @@ def test_oracle_exact(J, eps_scale):
         1.0 / jnp.sqrt(jnp.asarray(mass_inv)),
         vg,
         J,
+        multinomial=multinomial,
         randoms=rnd,
     )
     out = {k: np.asarray(v) for k, v in out._asdict().items()}
@@ -171,6 +202,7 @@ def test_oracle_exact(J, eps_scale):
             mass_inv[b],
             J,
             {k: v[b] for k, v in rnd.items()},
+            multinomial=multinomial,
         )
         assert out["depth"][b] == ob["depth"], b
         assert out["diverged"][b] == ob["diverged"], b
@@ -240,6 +272,81 @@ def test_matches_dynamic_law():
     np.testing.assert_allclose(flat_s.mean(0) / scales, 0.0, atol=0.05)
     assert abs(a_s.mean() - a_d.mean()) < 0.02
     assert abs(d_s.mean() - d_d.mean()) < 0.15
+
+
+def test_multinomial_matches_dynamic_law():
+    """proposal='multinomial': the static schedule and the dynamic tree
+    agree in law (marginal moments, acceptance statistic, tree depth) —
+    pins the two independent implementations of the Stan-style weighted
+    proposal against each other (the numpy oracle pins the static one
+    exactly; this test transports that to ops/tree.py's log-space form)."""
+    d, B, steps, J = 8, 384, 300, 3
+    scales, logp, _ = _gaussian(d)
+    vg = jax.value_and_grad(logp)
+    mass_inv = jnp.broadcast_to(jnp.asarray(scales**2), (B, d))
+    mass_scale = 1.0 / jnp.sqrt(mass_inv)
+    eps = jnp.full((B,), 0.8, jnp.float32)
+    rng = np.random.default_rng(17)
+    pos = jnp.asarray((rng.standard_normal((B, d)) * scales).astype(np.float32))
+    lp, grad = jax.vmap(vg)(pos)
+    lp, grad = lp.astype(jnp.float32), grad.astype(jnp.float32)
+
+    def step_static(keys, pos, lp, grad):
+        return static_nuts_step(
+            keys, pos, lp, grad, eps, mass_inv, mass_scale, vg, J,
+            multinomial=True,
+        )
+
+    mass1 = MassMatrix(inv=jnp.asarray(scales**2), scale=1.0 / jnp.asarray(scales))
+
+    def step_dyn(keys, pos, lp, grad):
+        return jax.vmap(
+            lambda k, p, l, g: nuts_tree_step(
+                k, p, l, g, eps[0], mass1, False, vg, J, multinomial=True
+            )
+        )(keys, pos, lp, grad)
+
+    s_s, a_s, d_s = _run_chain_stats(step_static, pos, lp, grad, steps,
+                                     jax.random.PRNGKey(5))
+    s_d, a_d, d_d = _run_chain_stats(step_dyn, pos, lp, grad, steps,
+                                     jax.random.PRNGKey(6))
+
+    flat_s = s_s.reshape(-1, d)
+    flat_d = s_d.reshape(-1, d)
+    np.testing.assert_allclose(flat_s.std(0), scales, rtol=0.05)
+    np.testing.assert_allclose(flat_s.std(0), flat_d.std(0), rtol=0.05)
+    np.testing.assert_allclose(flat_s.mean(0) / scales, 0.0, atol=0.05)
+    assert abs(a_s.mean() - a_d.mean()) < 0.02
+    assert abs(d_s.mean() - d_d.mean()) < 0.15
+
+
+def test_multinomial_end_to_end_both_backends():
+    """Full adaptive NUTS with proposal='multinomial' reaches the target
+    with healthy diagnostics on both backends."""
+    from general_mcmc_tpu import NUTS, GaussianND, NUTSMassMatrixConfig, init_with_seed
+    from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+
+    scales = jnp.array([1.0, 3.0, 0.5, 7.0], jnp.float32)
+    for backend in ("static", "xla"):
+        t = GaussianND(mean=jnp.zeros(4, jnp.float32), cov=scales)
+        s = NUTS(
+            t,
+            init_with_seed(64, 4, 0),
+            mass_config=NUTSMassMatrixConfig(adaptation="diagonal"),
+            max_tree_depth=4,
+            target_accept_p=0.85,
+            seed=0,
+            backend=backend,
+            proposal="multinomial",
+        )
+        out = np.asarray(s.run(300, 200))
+        flat = out.reshape(-1, 4)
+        np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.12,
+                                   err_msg=backend)
+        rhat, _ = split_rhat_mean_ess(jnp.asarray(out))
+        assert np.asarray(rhat).max() < 1.05, backend
+    with pytest.raises(ValueError, match="proposal"):
+        NUTS(t, init_with_seed(4, 4, 0), proposal="nope")
 
 
 def test_divergence_parity():
