@@ -585,21 +585,37 @@ def split_rhat_mean_ess(sample, steps_major: bool = False,
 # exactly like the classic split-R-hat (``_plan_chunks``):
 #
 # - exact: pooled argsort ranks per parameter (moderate samples);
-# - grid (memory-bounded, >10 GB samples): a chains-chunked two-pass scheme
-#   mirroring ``_suffstats_all``'s design — pass A computes the EXACT pooled
-#   ECDF at ``_RANK_GRID_K`` uniform grid points per parameter (per-chunk
-#   sort + searchsorted, counts summed across chunks inside one nested-map
-#   program); pass B re-reads each chunk, maps every draw through the
+# - grid (memory-bounded, >10 GB samples): a chains-chunked scheme
+#   mirroring ``_suffstats_all``'s design — pass A emits per-chunk sorted
+#   quantile tables (every draw for small chunks, midpoint order statistics
+#   beyond ``_RANK_SKETCH_Q``), which merge OUTSIDE the chunk maps into a
+#   pooled ECDF at ``_RANK_GRID_K`` uniform grid knots (binary searches
+#   cannot run inside a TPU ``lax.map``; see _pc_quantile_table); the
+#   transform passes then re-read each chunk, map every draw through the
 #   piecewise-linear ECDF (z = Φ⁻¹((r−3/8)/(S+1/4)) with r the interpolated
-#   pooled count) and reduces the transformed series to per-chain sufficient
-#   statistics on the spot.  The only approximation is the within-grid-cell
-#   linear interpolation of ranks: the transform stays a single pooled
-#   monotone map shared by all chains (so the statistic is still an exact
-#   rank-R-hat of a discretized transform), and the rank error per draw is
-#   bounded by the draw mass inside one grid cell — O(density·range/K),
-#   ~1e-4 in CDF units for Gaussian-like marginals at the default K.
-#   Folded R-hat and the 5%/95% tail cuts come from the SAME grid ECDF
-#   (F_ζ(t) = F(med+t) − F(med−t)), so no extra data passes are needed.
+#   pooled count) and reduce the transformed series to per-chain sufficient
+#   statistics on the spot.  Two approximations, both shared monotone-map
+#   distortions (the statistic remains an exact rank-R-hat of a discretized
+#   transform): within-grid-cell linear interpolation of ranks
+#   (O(density·range/K) ≈ 1e-4 CDF units at the default K) and, for
+#   chunks bigger than ``_RANK_SKETCH_Q`` draws, the quantile-table
+#   subsampling (rank error ≤ (draws/Q)/2 per chunk, ≈1.2e-4 pooled at
+#   the bench shape; chunks at or below Q stay exact).  Folded R-hat and
+#   the 5%/95% tail cuts come from the SAME grid ECDF
+#   (F_ζ(t) = F(med+t) − F(med−t)), so no extra SORTING passes are needed.
+#
+#   The transform work is split across THREE chunked programs (bulk /
+#   folded / tail indicators) instead of one.  Round-4 hardware finding
+#   (bench-shape bisect, 10 probe variants): beyond the in-map binary-
+#   search crash above, the TPU runtime deterministically faults
+#   ("UNAVAILABLE: TPU device error") on chunk-map bodies that combine
+#   table-interpolation gathers and FFTs past a threshold — two interp
+#   pairs into two DIFFERENT [K, p] tables fault even with no FFT; one
+#   pair + the 3 tail FFTs faults; one wider [K, 2p] pair faults; while
+#   one interp pair + one FFT (bulk), one pair + no FFT (folded), two
+#   pairs into the SAME table + one FFT, and gather-free bodies all pass.
+#   Each split program sits in a directly-probed-safe envelope; the extra
+#   sample reads cost ~seconds at the >10 GB scale that enables this path.
 # ---------------------------------------------------------------------------
 
 # ECDF grid resolution for the memory-bounded rank path.  [K, p] f32 tables
@@ -613,18 +629,35 @@ def _as_chains_major(sample, steps_major: bool) -> jax.Array:
     return jnp.swapaxes(x, 0, 1) if steps_major else x
 
 
+# Largest f32 strictly below 1.  The Blom quantile (r − 3/8)/(S + 1/4) is
+# < 1 in real arithmetic, but for S ≳ 2²³ draws both numerator and
+# denominator round to S in f32 and the ratio lands EXACTLY on 1.0 — and
+# ndtri(1) = +inf then poisons every downstream mean/FFT (found at the
+# 31.4M-draw bench shape; z saturates at ~5.5 there, so clamping to the
+# open interval is exact to f32 resolution).  Symmetric tiny floor for the
+# low end.
+_Q_HI = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
+_Q_LO = 1e-30
+
+
+def _blom_z(r, total):
+    """z = Φ⁻¹((r − 3/8)/(S + 1/4)) with the quantile clamped to the open
+    unit interval (see _Q_HI)."""
+    from jax.scipy.special import ndtri
+
+    return ndtri(jnp.clip((r - 0.375) / (total + 0.25), _Q_LO, _Q_HI))
+
+
 def _rank_normalize(x: jax.Array) -> jax.Array:
     """Pooled fractional-rank normal transform per parameter: ranks over all
     c·n draws, z = Φ⁻¹((r − 3/8)/(S + 1/4)) (Vehtari et al. 2021, eq. 14;
     Blom offsets).  Ties (measure-zero for continuous draws) break by sort
     order."""
-    from jax.scipy.special import ndtri
-
     c, n, p = x.shape
     flat = x.reshape(c * n, p)
     # rank = position in sort order: argsort(argsort) gives 0-based ranks
     r = jnp.argsort(jnp.argsort(flat, axis=0), axis=0).astype(jnp.float32) + 1.0
-    z = ndtri((r - 0.375) / (c * n + 0.25))
+    z = _blom_z(r, jnp.float32(c * n))
     return z.reshape(c, n, p)
 
 
@@ -808,19 +841,66 @@ def _pc_minmax(blk, consts):
     )
 
 
-def _pc_ecdf_counts(blk, consts):
-    """Pass A: exact pooled-ECDF counts of one chunk at the uniform grid —
-    sort the chunk per parameter, then one searchsorted per parameter
-    (count of chunk draws ≤ each grid point).  Counts sum exactly across
-    chunks, which is what makes the grid ECDF exact at its knots."""
-    grid = consts["grid"]  # [K, p]
+# Per-chunk quantile-table size for the grid rank path's pass A.  Chunks
+# with ≤ this many draws emit every sorted draw (the merged ECDF is then
+# EXACT at the grid knots); bigger chunks emit midpoint order statistics,
+# bounding the rank error of any downstream query by ~(draws/Q)/2 per
+# chunk (≈1.2e-4 of the pooled rank at the bench shape).
+_RANK_SKETCH_Q = 4096
+
+
+def _pc_quantile_table(blk, consts, Q: int):
+    """Pass A: per-chunk sorted quantile table at FIXED positions.
+
+    Emits ``q = min(Q, draws)`` midpoint order statistics (positions
+    ``floor((j+0.5)·m/q)``) plus the per-row draw mass ``m/q``.  Only
+    map-safe ops: sort, constant-index take.  This replaces an in-map
+    ``searchsorted`` over the uniform grid — round-4 hardware finding:
+    data-DEPENDENT gather chains (binary search — ``jnp.searchsorted``
+    or a hand-rolled fixed-trip variant) deterministically CRASH the TPU
+    inside a ``lax.map`` body, while the same ops standalone and
+    constant/single-level data-dependent gathers in-map are fine.  The
+    grid counting therefore happens OUTSIDE the maps, on the merged
+    tables (:func:`_weighted_counts_at_grid`)."""
+    del consts
     cc, n, p = blk.shape
-    flat = jnp.sort(blk.astype(jnp.float32).reshape(cc * n, p), axis=0)
-    counts = jax.vmap(
+    m = cc * n
+    q = min(Q, m)
+    flat = jnp.sort(blk.astype(jnp.float32).reshape(m, p), axis=0)
+    pos = np.clip(((np.arange(q) + 0.5) * m / q).astype(np.int64), 0, m - 1)
+    table = jnp.take(flat, jnp.asarray(pos, jnp.int32), axis=0)  # [q, p]
+    return {"table": table, "weight": jnp.full((1,), m / q, jnp.float32)}, {}
+
+
+@functools.lru_cache(maxsize=8)
+def _quantile_table_fn(Q: int):
+    """Stable (hash-cached) per-Q partial: ``per_chunk`` is a jit static
+    argument, and a fresh ``functools.partial`` per call would miss the
+    jit cache and re-trace every invocation."""
+    return functools.partial(_pc_quantile_table, Q=Q)
+
+
+def _weighted_counts_at_grid(vals, wrows, grid):
+    """Weighted pooled counts ≤ each grid knot from merged chunk tables:
+    co-sort (values, row masses) per parameter, prefix-sum the masses,
+    read the prefix at ``searchsorted`` positions.  Runs standalone (not
+    inside a chunk map), so ``jnp.searchsorted`` is safe here.  Exact
+    counts whenever every chunk emitted all of its draws with mass 1."""
+    order = jnp.argsort(vals, axis=0)
+    vs = jnp.take_along_axis(vals, order, axis=0)
+    ws = jnp.take_along_axis(
+        jnp.broadcast_to(wrows[:, None], vals.shape), order, axis=0
+    )
+    cumw = jnp.cumsum(ws, axis=0)
+    idx = jax.vmap(
         lambda col, g: jnp.searchsorted(col, g, side="right"),
         in_axes=(1, 1), out_axes=1,
-    )(flat, grid)  # [K, p] int
-    return {}, {"counts": counts}
+    )(vs, grid)  # [K, p]
+    return jnp.where(
+        idx > 0,
+        jnp.take_along_axis(cumw, jnp.clip(idx - 1, 0, vals.shape[0] - 1), axis=0),
+        jnp.zeros((), jnp.float32),
+    )
 
 
 def _interp_counts(x, lo, w, F):
@@ -839,47 +919,53 @@ def _interp_counts(x, lo, w, F):
 
 def _grid_z(x, lo, w, F, total):
     """Rank-normal transform through the grid ECDF: z = Φ⁻¹((r−3/8)/(S+1/4))
-    with r the interpolated pooled count (Blom offsets as in
-    :func:`_rank_normalize`; r clipped to [1, S] like true ranks)."""
-    from jax.scipy.special import ndtri
-
+    with r the interpolated pooled count (Blom offsets and open-interval
+    quantile clamp as in :func:`_blom_z`; r clipped to [1, S] like true
+    ranks)."""
     r = jnp.clip(_interp_counts(x, lo, w, F), 1.0, total)
-    return ndtri((r - 0.375) / (total + 0.25))
+    return _blom_z(r, total)
 
 
-def _pc_rank_suffstats(blk, consts):
-    """Pass B: per-chain sufficient statistics of the four derived series of
-    one chunk — rank-normal z (bulk), folded rank-normal z, and the two
-    tail-quantile indicator series.  Split-chain means/sq for all four;
-    autocovariance sums for the three that feed an ESS (folded feeds R-hat
-    only)."""
-    lo, w, F = consts["lo"], consts["w"], consts["F"]
-    zlo, zw, Fz = consts["zlo"], consts["zw"], consts["Fz"]
-    total = consts["total"]
-    med, q05, q95 = consts["med"], consts["q05"], consts["q95"]
+def _suff(series, with_acov):
+    """Split-chain means/sq (and optionally the pooled autocovariance sum)
+    of one derived series — the shared reduction of the transform passes."""
+    s = _splitcat(series)
+    means = jnp.mean(s, axis=1)
+    sq = jnp.mean((s - means[:, None, :]) ** 2, axis=1)
+    if not with_acov:
+        return (means, sq), ()
+    return (means, sq), (jnp.sum(autocov_fft(s), axis=0),)
 
+
+def _pc_rank_bulk(blk, consts):
+    """Transform pass 1 of 3: bulk rank-normal z — ONE interp-gather pair
+    (the F table) + ONE FFT, the probe-proven safe combination (section
+    comment)."""
     x = blk.astype(jnp.float32)
-    z_bulk = _grid_z(x, lo, w, F, total)
-    z_fold = _grid_z(jnp.abs(x - med), zlo, zw, Fz, total)
-    i05 = (x <= q05).astype(jnp.float32)
-    i95 = (x <= q95).astype(jnp.float32)
+    z = _grid_z(x, consts["lo"], consts["w"], consts["F"], consts["total"])
+    (mb, sb), (ab,) = _suff(z, True)
+    return {"bulk": (mb, sb)}, {"acov_bulk": ab}
 
-    def suff(series, with_acov):
-        s = _splitcat(series)
-        means = jnp.mean(s, axis=1)
-        sq = jnp.mean((s - means[:, None, :]) ** 2, axis=1)
-        if not with_acov:
-            return (means, sq), ()
-        return (means, sq), (jnp.sum(autocov_fft(s), axis=0),)
 
-    (mb, sb), (ab,) = suff(z_bulk, True)
-    (mf, sf), () = suff(z_fold, False)
-    (m5, s5), (a5,) = suff(i05, True)
-    (m9, s9), (a9,) = suff(i95, True)
-    return (
-        {"bulk": (mb, sb), "fold": (mf, sf), "i05": (m5, s5), "i95": (m9, s9)},
-        {"acov_bulk": ab, "acov_i05": a5, "acov_i95": a9},
+def _pc_rank_fold(blk, consts):
+    """Transform pass 2 of 3: folded rank-normal z — one interp-gather pair
+    (the derived Fζ table), no FFT (folded feeds R-hat only)."""
+    x = blk.astype(jnp.float32)
+    z = _grid_z(
+        jnp.abs(x - consts["med"]), consts["zlo"], consts["zw"],
+        consts["Fz"], consts["total"],
     )
+    (mf, sf), () = _suff(z, False)
+    return {"fold": (mf, sf)}, {}
+
+
+def _pc_rank_tail(blk, consts):
+    """Transform pass 3 of 3: the 5%/95% tail indicator series — gather-free
+    comparisons + two FFTs."""
+    x = blk.astype(jnp.float32)
+    (m5, s5), (a5,) = _suff((x <= consts["q05"]).astype(jnp.float32), True)
+    (m9, s9), (a9,) = _suff((x <= consts["q95"]).astype(jnp.float32), True)
+    return {"i05": (m5, s5), "i95": (m9, s9)}, {"acov_i05": a5, "acov_i95": a9}
 
 
 def _inverse_ecdf(F_frac, lo, w, level):
@@ -919,12 +1005,25 @@ def _rank_grid_summary(sample, steps_major: bool) -> RankSummary:
     hi = jnp.max(st["hi"], axis=0)
     w = jnp.maximum(hi - lo, jnp.float32(1e-30)) / (K - 1)
 
-    # pass A: exact pooled ECDF counts at the K uniform knots
+    # pass A: per-chunk quantile tables (map-safe), merged + counted at the
+    # K uniform knots outside the maps (see _pc_quantile_table for why the
+    # counting cannot live inside the chunk map on TPU)
     grid = lo[None, :] + w[None, :] * jnp.arange(K, dtype=jnp.float32)[:, None]
-    _, sm = _run_chunked_pass(
-        sample, {"grid": grid}, _pc_ecdf_counts, plan, steps_major, c0
+    st, _ = _run_chunked_pass(
+        sample, {}, _quantile_table_fn(_RANK_SKETCH_Q), plan, steps_major, c0
     )
-    F = sm["counts"].astype(jnp.float32)  # [K, p] counts ≤ knot
+    tables = st["table"]  # [R, p]: all chunks' rows concatenated
+    wchunk = st["weight"]  # [n_chunks(+tail)] per-row draw mass by chunk
+    chunk, _W, main = plan
+    q_main = min(_RANK_SKETCH_Q, chunk * n0)
+    n_main = main // chunk
+    rows = [jnp.repeat(wchunk[:n_main], q_main, total_repeat_length=n_main * q_main)]
+    if main < c0:
+        q_tail = min(_RANK_SKETCH_Q, (c0 - main) * n0)
+        rows.append(jnp.repeat(wchunk[n_main:], q_tail,
+                               total_repeat_length=q_tail))
+    wrows = jnp.concatenate(rows)
+    F = _weighted_counts_at_grid(tables, wrows, grid)  # [K, p] ~counts ≤ knot
     F_frac = F / total
 
     # pooled median and tail cuts from the same grid ECDF
@@ -946,9 +1045,13 @@ def _rank_grid_summary(sample, steps_major: bool) -> RankSummary:
         "lo": lo, "w": w, "F": F, "zlo": jnp.zeros_like(lo), "zw": zw,
         "Fz": Fz, "total": total, "med": med, "q05": q05, "q95": q95,
     }
-    st, sm = _run_chunked_pass(
-        sample, consts, _pc_rank_suffstats, plan, steps_major, c0
-    )
+    # three probe-proven programs instead of one (section comment: the TPU
+    # runtime faults on bigger gather+FFT combinations in one map body)
+    st, sm = {}, {}
+    for pc in (_pc_rank_bulk, _pc_rank_fold, _pc_rank_tail):
+        st_i, sm_i = _run_chunked_pass(sample, consts, pc, plan, steps_major, c0)
+        st.update(st_i)
+        sm.update(sm_i)
 
     def combine(key, acov_key):
         means, sq = st[key]

@@ -308,17 +308,51 @@ def test_rank_diagnostics_memory_bounded_at_bench_shape():
     cap = 3 * 2**30  # same order as the classic suffstats program's bound
     b0 = extra_bytes(S._pc_minmax, {})
     assert b0 < cap, f"minmax pass temps {b0 / 2**30:.2f} GiB"
-    grid = jax.ShapeDtypeStruct((K, p), f32)
-    bA = extra_bytes(S._pc_ecdf_counts, {"grid": grid})
-    assert bA < cap, f"ECDF-counts pass temps {bA / 2**30:.2f} GiB"
+    bA = extra_bytes(S._quantile_table_fn(S._RANK_SKETCH_Q), {})
+    assert bA < cap, f"quantile-table pass temps {bA / 2**30:.2f} GiB"
+    # the standalone merge+count step (outside the chunk maps)
+    n_chunks = main // chunk
+    R = n_chunks * min(S._RANK_SKETCH_Q, chunk * n0)
+    maM = (
+        jax.jit(S._weighted_counts_at_grid)
+        .lower(
+            jax.ShapeDtypeStruct((R, p), f32),
+            jax.ShapeDtypeStruct((R,), f32),
+            jax.ShapeDtypeStruct((K, p), f32),
+        )
+        .compile()
+        .memory_analysis()
+    )
+    bM = maM.temp_size_in_bytes + maM.output_size_in_bytes
+    assert bM < cap, f"merge/count temps {bM / 2**30:.2f} GiB"
     vec = jax.ShapeDtypeStruct((p,), f32)
+    grid = jax.ShapeDtypeStruct((K, p), f32)
     consts = {
         "lo": vec, "w": vec, "F": grid, "zlo": vec, "zw": vec, "Fz": grid,
         "total": jax.ShapeDtypeStruct((), f32), "med": vec, "q05": vec,
         "q95": vec,
     }
-    bB = extra_bytes(S._pc_rank_suffstats, consts)
-    assert bB < cap, f"rank-suffstats pass temps {bB / 2**30:.2f} GiB"
+    for pc in (S._pc_rank_bulk, S._pc_rank_fold, S._pc_rank_tail):
+        bB = extra_bytes(pc, consts)
+        assert bB < cap, f"{pc.__name__} pass temps {bB / 2**30:.2f} GiB"
+
+
+def test_blom_z_finite_at_bench_scale_totals():
+    """f32 regression (round 4, found on hardware): at S ≳ 2²³ pooled draws
+    the Blom quantile (r−3/8)/(S+1/4) rounds to exactly 1.0 in f32 for the
+    top ranks, and ndtri(1) = +inf poisoned the bench-shape (31.4M-draw)
+    rank diagnostics.  The open-interval clamp must keep every rank's z
+    finite at any total."""
+    import general_mcmc_tpu.diagnostics.stats as S
+
+    for total in (1.0e4, 2.0**23, 31_457_280.0, 2.0**31):
+        t = jnp.float32(total)
+        r = jnp.asarray([1.0, total / 2, total - 1.0, total], jnp.float32)
+        z = np.asarray(S._blom_z(r, t))
+        assert np.isfinite(z).all(), (total, z)
+        # still a deep-tail z, not squashed (≈3.84 at S=1e4, ≈5.5 at 31M)
+        assert z[-1] > 3.5
+        assert z[-1] >= z[-2] >= z[1] >= z[0]  # monotone in rank
 
 
 def test_runstats_rank_normalized_fields():
