@@ -88,6 +88,13 @@ BACKEND = os.environ.get(
 # ESS/chain/step climbs to 1.37 (antithetic NUTS draws); 0.65 halves ESS,
 # 0.95 declines.  See docs/BENCH_HISTORY.md.
 TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.90))
+# Proposal law: "multinomial" (default — Stan's modern weighted proposal,
+# a beyond-reference extension measured at +13% headline min-ESS/s round 4,
+# R-hat/moment gates identical; the proposal is labeled in the metric
+# string) | "slice" (the reference's algorithm — the law the CPU surrogate
+# runs; its headline numbers are recorded alongside in
+# docs/BENCH_HISTORY.md for law-identical comparison).
+PROPOSAL = os.environ.get("GMT_BENCH_PROPOSAL", "multinomial")
 SEED = 0
 # Total wall-clock budget; measured attempts stop (and retries are skipped)
 # once it is spent.  The driver's observed window is ~30 min — leave slack.
@@ -172,6 +179,7 @@ def build_sampler():
         warmup_tree_depth=_WARMUP_DEPTH,
         seed=SEED,
         backend=BACKEND,
+        proposal=PROPOSAL,
         # GMT_BENCH_CKPT_BF16=1: bf16 checkpoint stacks (U-turn sign tests
         # only; R-hat/min-ESS gated like every experiment knob)
         ckpt_dtype=jnp.bfloat16 if os.environ.get("GMT_BENCH_CKPT_BF16") == "1" else None,
@@ -217,7 +225,7 @@ _WL_DESC = (
     + f" (n_obs={N_OBS})"
     if WORKLOAD.startswith("logistic")
     else f"{DIM}-d ill-conditioned Gaussian"
-)
+) + (", multinomial proposal" if PROPOSAL == "multinomial" else "")
 
 
 _EMITTED = False  # at least one verified JSON line has been printed
@@ -391,10 +399,13 @@ def logistic_extra():
         max_tree_depth=cap,
         seed=SEED,
         backend=backend,
+        proposal=PROPOSAL,
     )
     desc = (
         f"{dim}-d hierarchical logistic (non-centered) (n_obs={n_obs}, "
-        f"cap {cap}, backend {backend}) [stretch workload]"
+        f"cap {cap}, backend {backend})"
+        + (", multinomial proposal" if PROPOSAL == "multinomial" else "")
+        + " [stretch workload]"
     )
     sampler._prepare_run(collect, warmup)
     walls, sample = [], None
