@@ -177,3 +177,13 @@ def test_static_window_nuts_example():
     flat = np.asarray(sample).reshape(-1, 16)
     scales = np.exp(np.linspace(0.0, np.log(10.0), 16))
     np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.12)
+
+
+def test_multinomial_nuts_example():
+    import multinomial_nuts
+
+    results = multinomial_nuts.main()  # asserts shapes + R-hat internally
+    assert set(results) == {"slice", "multinomial"}
+    for rhat_max, min_ess in results.values():
+        assert rhat_max < 1.05
+        assert min_ess > 500
