@@ -175,6 +175,29 @@ _FACTORIES = {
         max_tree_depth=3,
         backend="static",
     ),
+    # multinomial proposal: the weight accounting is stateless per
+    # transition, so resume exactness must be unaffected (both backends'
+    # laws covered by the two entries below)
+    "nuts_multinomial": lambda: NUTS(
+        DiffableGaussian2D(
+            mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+        ),
+        init_det(4, 2),
+        0.8,
+        step_size=0.3,
+        proposal="multinomial",
+    ),
+    "nuts_static_multinomial": lambda: NUTS(
+        DiffableGaussian2D(
+            mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+        ),
+        init_det(4, 2),
+        0.8,
+        step_size=0.3,
+        max_tree_depth=3,
+        backend="static",
+        proposal="multinomial",
+    ),
 }
 
 
