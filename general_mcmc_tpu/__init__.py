@@ -29,6 +29,7 @@ from .diagnostics.stats import (
 )
 from .models import distributions
 from .samplers.base import BatchChain, BatchSampler
+from .samplers.chees import ChEESHMC
 from .samplers.gibbs import GibbsSampler
 from .samplers.hmc import HMC
 from .samplers.mala import MALA

@@ -1,0 +1,414 @@
+"""ChEES-HMC: cross-chain adaptive Hamiltonian Monte Carlo.
+
+Beyond-reference extension (the reference's only adaptive sampler is NUTS,
+nuts.rs + generic_nuts.rs).  ChEES-HMC is the accelerator-native answer to
+the same problem NUTS solves — "how long should a trajectory be?" — from
+Hoffman, Radul & Sountsov, *An Adaptive MCMC Scheme for Setting Trajectory
+Lengths in Hamiltonian Monte Carlo* (AISTATS 2021; see also the tfp.mcmc
+hardware paper, arXiv:2002.01184).  Instead of per-chain tree building it
+runs plain fixed-length HMC whose (shared, scalar) trajectory length is
+adapted from *cross-chain* statistics:
+
+- every iteration integrates ALL chains for the same jittered time
+  ``t_m = u_m · T`` (``u_m``: base-2 Halton sequence on the absolute step
+  index), so the leapfrog loop is a scalar-bounded ``fori_loop`` over a
+  full-batch body — no per-chain control flow, no batch-max tree, no
+  checkpoint stacks.  On TPU this is the shape XLA compiles to
+  near-roofline leapfrogs (the round-3 bare-leapfrog probe measured ~19×
+  the tree backends' grad-eval throughput at the benchmark batch);
+- ``T`` maximizes the ChEES criterion ``E[(‖θ⁺−μ⁺‖² − ‖θ−μ‖²)²]/4`` by
+  Adam on ``log T``, with the analytic time-derivative ``dθ⁺/dt = v⁺``
+  (the final velocity) and proposals importance-weighted by their MH
+  acceptance probability — all cross-chain reductions, which is why the
+  scheme *wants* the many-chain regime this package is built around;
+- the (shared, scalar) step size ε follows the same dual-averaging law as
+  NUTS (γ=0.05, t₀=10, κ=0.75; generic_nuts.rs:638-643) but driven by the
+  cross-chain mean acceptance probability, targeting the HMC-optimal 0.651
+  by default;
+- the diagonal metric follows Stan's convention (M⁻¹ = Σ̂, like
+  :mod:`.nuts`) but Σ̂ is estimated from the *cross-chain* variance of the
+  current batch (EMA-smoothed), refreshed every warmup step — with ≥10⁴
+  chains a single batch already estimates marginal variances to ~1%, so
+  no Welford windows are needed.
+
+All adaptation state is scalar/[d] and lives in the scan carry; after
+``n_discard`` steps everything freezes (ε = ε̄, T and M⁻¹ at their final
+values) and only the Halton jitter remains active, so collection draws a
+valid (jittered-HMC) Markov chain.  Checkpoint/resume therefore composes
+exactly like the other samplers: a resumed run is post-warmup by
+construction and keeps the adapted state frozen.
+
+Deviations from the paper (documented per the repo convention):
+
+- jitter uses the plain base-2 van der Corput sequence (the 1-D Halton
+  sequence) on the absolute step index instead of a *scrambled* Halton
+  sequence — deterministic, stateless, resume/thin-consistent;
+- the ChEES gradient is normalized by the criterion value before the Adam
+  step (the tfp.mcmc implementation's trick), making the learning rate
+  scale-free;
+- trajectories are capped at ``max_leapfrog`` steps per iteration (the
+  paper's unbounded ``⌈t/ε⌉`` can explode while ε is still adapting).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.distributions import as_logp_fn
+from ..ops.tree import find_reasonable_epsilon, identity_mass, sample_momentum
+from ..rng import step_key
+from .base import BatchSampler
+
+__all__ = ["ChEESHMC", "halton_base2"]
+
+# Dual-averaging constants, shared with NUTS (generic_nuts.rs:638-643).
+_GAMMA = 0.05
+_T0 = 10.0
+_KAPPA = 0.75
+# Adam moments for the log-T ascent (paper §4: standard Adam).
+_B1 = 0.9
+_B2 = 0.999
+_ADAM_EPS = 1e-8
+# Energy-error divergence threshold, as in the NUTS backends (Δ_max).
+_DELTA_MAX = 1000.0
+
+
+def halton_base2(m):
+    """Base-2 radical inverse (van der Corput / 1-D Halton) of ``m + 1``.
+
+    Jittable and stateless: bit-reverse the 32-bit counter and scale by
+    2⁻³², giving the low-discrepancy sequence 0.5, 0.25, 0.75, 0.125, …
+    strictly inside (0, 1).  Evaluated on the *absolute* step index so
+    thinned, resumed and incrementally-driven runs see the same jitter
+    stream as one fused run.
+    """
+    n = (jnp.asarray(m) + 1).astype(jnp.uint32)
+    n = (n << 16) | (n >> 16)
+    n = ((n & 0x00FF00FF) << 8) | ((n >> 8) & 0x00FF00FF)
+    n = ((n & 0x0F0F0F0F) << 4) | ((n >> 4) & 0x0F0F0F0F)
+    n = ((n & 0x33333333) << 2) | ((n >> 2) & 0x33333333)
+    n = ((n & 0x55555555) << 1) | ((n >> 1) & 0x55555555)
+    return n.astype(jnp.float32) * jnp.float32(2.0**-32)
+
+
+class ChEESHMC(BatchSampler):
+    """Jittered HMC with cross-chain ChEES trajectory-length adaptation.
+
+    Parameters
+    ----------
+    target : callable or object with ``unnorm_logp``
+        Differentiable log density of one state, ``logp(x: [dim]) -> scalar``.
+    initial_positions : [n_chains, dim] float array
+    target_accept_p : dual-averaging acceptance target δ (default 0.651,
+        the optimal acceptance rate for plain HMC; NUTS uses 0.8+).
+    step_size : optional fixed initial ε (skips the ε search; ε still
+        adapts during warmup — pass ``n_discard=0`` to freeze it).
+    trajectory_length : initial maximum trajectory *time* T (default 1.0;
+        each iteration integrates for ``u_m · T`` with ``u_m`` ~ Halton).
+    max_leapfrog : hard cap on leapfrog steps per iteration (default 256).
+        Bounds the while-loop trip count while ε is still small early in
+        warmup; post-warmup trajectories on well-adapted metrics use a few
+        to a few dozen steps.
+    adam_lr : Adam learning rate for the log-T ascent (default 0.025, the
+        paper's setting; raise for very short warmups).
+    mass_adaptation : adapt the diagonal metric from cross-chain variance
+        during warmup (default True).  The Stan convention M⁻¹ = Σ̂ is
+        used, matching :mod:`.nuts`.
+    mass_ema : EMA weight for the per-step cross-chain variance estimate
+        (default 0.1; the effective averaging window is ~1/mass_ema steps).
+    jitter_amount : fraction of the trajectory that jitters (default 1.0,
+        the paper's law: t = u·T with u ~ Halton on (0, 1)).  With
+        ``jitter_amount=j`` the integration time is ``t = (1 − j·u)·T``,
+        i.e. uniform on ((1−j)·T, T).  Lower values trade gradient
+        evaluations for ESS-per-draw: trajectories stay near the adapted
+        optimum instead of averaging half of it, which pays when collected
+        draws (not gradients) are the scarce resource — e.g. HBM-capped
+        collection phases at large chain counts.  Keep some jitter
+        (j ≳ 0.3) to break resonances on near-Gaussian targets.
+    """
+
+    def __init__(
+        self,
+        target,
+        initial_positions,
+        target_accept_p: float = 0.651,
+        seed=0,
+        step_size: float | None = None,
+        trajectory_length: float = 1.0,
+        max_leapfrog: int = 256,
+        adam_lr: float = 0.025,
+        mass_adaptation: bool = True,
+        mass_ema: float = 0.1,
+        jitter_amount: float = 1.0,
+    ):
+        self.target = as_logp_fn(target)
+        self.initial_positions = jnp.asarray(initial_positions)
+        if not jnp.issubdtype(self.initial_positions.dtype, jnp.floating):
+            self.initial_positions = self.initial_positions.astype(jnp.float32)
+        self.dim = self.initial_positions.shape[1]
+        self.target_accept_p = float(target_accept_p)
+        self.step_size = step_size
+        if trajectory_length <= 0.0:
+            raise ValueError("trajectory_length must be positive")
+        self.trajectory_length0 = float(trajectory_length)
+        self.max_leapfrog = int(max_leapfrog)
+        if self.max_leapfrog < 1:
+            raise ValueError("max_leapfrog must be >= 1")
+        self.adam_lr = float(adam_lr)
+        self.mass_adaptation = bool(mass_adaptation)
+        self.mass_ema = float(mass_ema)
+        if not 0.0 < jitter_amount <= 1.0:
+            raise ValueError("jitter_amount must be in (0, 1]")
+        self.jitter_amount = float(jitter_amount)
+        self._vg = jax.value_and_grad(self.target)
+        self._vgrad = jax.vmap(self._vg)
+        self._find_eps_jit = None
+        self._n_discard = 0
+        super().__init__(n_chains=self.initial_positions.shape[0], seed=seed)
+
+    # -- per-run preparation --------------------------------------------------
+    def _prepare_run(self, n_collect: int, n_discard: int) -> None:
+        # The warmup gate is the only run-length-derived state; bind it into
+        # the cached step fn so lazily-traced BatchChain step fns can never
+        # adopt a later run's schedule (the NUTS _Sched pattern).
+        self._n_discard = n_discard
+        cache = getattr(self, "_stepfn_cache", None)
+        if cache is None:
+            cache = self._stepfn_cache = {}
+        key = (n_discard, id(self._extract_fn))
+        if key not in cache:
+            cache[key] = self._make_step_fn(
+                step=lambda c, m, _nd=n_discard: self._step(c, m, _nd)
+            )
+        self._step_fn = cache[key]
+
+    # -- carry ----------------------------------------------------------------
+    def _init_carry(self):
+        x0 = self.initial_positions
+        dtype = x0.dtype
+        n, d = x0.shape
+        lp0, grad0 = self._vgrad(x0)
+        lp0 = lp0.astype(dtype)
+        grad0 = grad0.astype(dtype)
+        keys = self._chain_keys
+        if self.step_size is not None:
+            eps0 = jnp.asarray(self.step_size, dtype)
+        else:
+            init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2**31 - 1))(keys)
+            if self._find_eps_jit is None:
+
+                def find_eps(k, x):
+                    mass = identity_mass(d, False, dtype)
+                    mom = sample_momentum(k, mass, False)
+                    return find_reasonable_epsilon(self._vg, x, mom, mass, False)
+
+                # jitted + cached (the NUTS lesson: the eager vmapped
+                # double-while search re-traces on every run)
+                self._find_eps_jit = jax.jit(
+                    lambda ks, xs: jnp.median(jax.vmap(find_eps)(ks, xs))
+                )
+            # one shared scalar ε: the cross-chain median of the per-chain
+            # searches is robust to stragglers in the initial batch
+            eps0 = self._find_eps_jit(init_keys, x0).astype(dtype)
+        zero = jnp.zeros((), dtype)
+        return dict(
+            pos=x0,
+            lp=lp0,
+            grad=grad0,
+            keys=keys,
+            eps=eps0,
+            eps_bar=eps0,
+            h_bar=zero,
+            mu=jnp.log(10.0 * eps0),
+            log_t=jnp.log(jnp.asarray(self.trajectory_length0, dtype)),
+            adam_m=zero,
+            adam_v=zero,
+            mass_inv=jnp.ones((d,), dtype),
+            n_divergent=jnp.zeros((n,), jnp.int32),
+            n_leapfrog=jnp.zeros((n,), jnp.int64)
+            if jax.config.jax_enable_x64
+            else jnp.zeros((n,), jnp.int32),
+        )
+
+    # -- transition -------------------------------------------------------------
+    def _step(self, carry, m, n_discard: int | None = None):
+        if n_discard is None:  # direct calls outside a prepared run
+            n_discard = self._n_discard
+        pos, lp, grad = carry["pos"], carry["lp"], carry["grad"]
+        dtype = pos.dtype
+        m1 = (m + 1).astype(dtype)
+        warmup = m1 <= n_discard
+        eps = carry["eps"]
+        inv = carry["mass_inv"]  # [d] diag of M⁻¹ = Σ̂ (Stan metric)
+        mom_std = 1.0 / jnp.sqrt(inv)
+
+        # jittered integration time and the shared scalar leapfrog count
+        u = halton_base2(m).astype(dtype)
+        t = (1.0 - self.jitter_amount * u) * jnp.exp(carry["log_t"])
+        n_steps = jnp.clip(
+            jnp.ceil(t / eps), 1, self.max_leapfrog
+        ).astype(jnp.int32)
+        t_eff = n_steps.astype(dtype) * eps  # the time actually integrated
+
+        k = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
+        k_mom = jax.vmap(lambda kk: jax.random.fold_in(kk, 0))(k)
+        k_u = jax.vmap(lambda kk: jax.random.fold_in(kk, 1))(k)
+        z = jax.vmap(
+            lambda kk, ref: jax.random.normal(kk, ref.shape, dtype)
+        )(k_mom, pos)
+        mom = mom_std * z
+        ke0 = 0.5 * jnp.sum(inv * mom * mom, axis=1)
+
+        half = 0.5 * eps
+
+        def lf_body(_, st):
+            p, q, g, _lp = st
+            q = q + g * half
+            p = p + (inv * q) * eps
+            lpn, g = self._vgrad(p)
+            # targets with f64 parameters promote under x64; the carry is
+            # dtype-stable in the positions' dtype
+            q = q + g.astype(dtype) * half
+            return (p, q, g.astype(dtype), lpn.astype(dtype))
+
+        pos_p, mom_p, grad_p, lp_p = jax.lax.fori_loop(
+            0, n_steps, lf_body, (pos, mom, grad, lp)
+        )
+        ke_p = 0.5 * jnp.sum(inv * mom_p * mom_p, axis=1)
+
+        ok = (
+            jnp.isfinite(lp_p)
+            & jnp.all(jnp.isfinite(pos_p), axis=1)
+            & jnp.all(jnp.isfinite(mom_p), axis=1)
+        )
+        # sanitize before any cross-chain reduction: one NaN chain would
+        # poison the batch means the adaptation feeds on
+        pos_p = jnp.where(ok[:, None], pos_p, pos)
+        mom_p = jnp.where(ok[:, None], mom_p, jnp.zeros_like(mom_p))
+        grad_p = jnp.where(ok[:, None], grad_p, grad)
+        lp_p = jnp.where(ok, lp_p, lp)
+        raw = (lp_p - lp) + (ke0 - ke_p)
+        log_accept = jnp.where(ok, raw, -jnp.inf)
+        diverged = ~ok | (-raw > _DELTA_MAX)
+
+        u_acc = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k_u)
+        accept = jnp.log(u_acc) < log_accept
+        pos_new = jnp.where(accept[:, None], pos_p, pos)
+        lp_new = jnp.where(accept, lp_p, lp)
+        grad_new = jnp.where(accept[:, None], grad_p, grad)
+
+        def adapt():
+            """Warmup-only cross-chain adaptation (ChEES/Adam on log T, dual
+            averaging on ε, variance metric) — behind a scalar lax.cond so
+            post-warmup steps skip its ~6 extra [B, d] reduction passes."""
+            alpha = jnp.minimum(1.0, jnp.exp(log_accept))  # exp(-inf) = 0
+
+            # ChEES criterion E[(‖θ⁺−μ⁺‖² − ‖θ−μ‖²)²]/4 over proposals,
+            # importance-weighted by acceptance probability; dθ⁺/dt = v⁺ =
+            # M⁻¹p⁺ gives the analytic time derivative, dt/d(log T) = t.
+            w = alpha / (jnp.mean(alpha) + 1e-20)
+            c0 = pos - jnp.mean(pos, axis=0)
+            cp = pos_p - jnp.mean(pos_p, axis=0)
+            a_gap = jnp.sum(cp * cp, axis=1) - jnp.sum(c0 * c0, axis=1)
+            da_dt = 2.0 * jnp.sum(cp * (inv * mom_p), axis=1)
+            chees = jnp.mean(w * a_gap * a_gap) * 0.25
+            d_chees = jnp.mean(w * a_gap * da_dt) * 0.5 * t_eff
+            # criterion-normalized gradient (scale-free lr, tfp.mcmc's trick)
+            g_norm = d_chees / (chees + 1e-20)
+            adam_m = _B1 * carry["adam_m"] + (1.0 - _B1) * g_norm
+            adam_v = _B2 * carry["adam_v"] + (1.0 - _B2) * g_norm * g_norm
+            m_hat = adam_m / (1.0 - _B1**m1)
+            v_hat = adam_v / (1.0 - _B2**m1)
+            log_t = carry["log_t"] + self.adam_lr * m_hat / (
+                jnp.sqrt(v_hat) + _ADAM_EPS
+            )
+            # static clamp: keeps ⌈t/ε⌉ representable and recoverable even if
+            # a pathological early gradient runs away before ε has adapted
+            log_t = jnp.clip(log_t, -6.0, 12.0)
+
+            # dual averaging on the shared ε (cross-chain mean acceptance)
+            accept_stat = jnp.mean(alpha)
+            eta = 1.0 / (m1 + _T0)
+            h_bar = (1.0 - eta) * carry["h_bar"] + eta * (
+                self.target_accept_p - accept_stat
+            )
+            eps_w = jnp.exp(carry["mu"] - jnp.sqrt(m1) / _GAMMA * h_bar)
+            eta2 = m1 ** (-_KAPPA)
+            eps_bar = jnp.exp(
+                (1.0 - eta2) * jnp.log(carry["eps_bar"]) + eta2 * jnp.log(eps_w)
+            )
+
+            # diagonal metric from cross-chain variance (Stan M⁻¹ = Σ̂);
+            # ≥10⁴ chains estimate marginal variances to ~1% in one batch
+            if self.mass_adaptation:
+                var = jnp.var(pos_new, axis=0)
+                mass_inv = jnp.maximum(
+                    (1.0 - self.mass_ema) * inv + self.mass_ema * var, 1e-8
+                )
+            else:
+                mass_inv = inv
+            return eps_w, eps_bar, h_bar, log_t, adam_m, adam_v, mass_inv
+
+        def frozen():
+            return (
+                carry["eps_bar"],
+                carry["eps_bar"],
+                carry["h_bar"],
+                carry["log_t"],
+                carry["adam_m"],
+                carry["adam_v"],
+                inv,
+            )
+
+        eps_new, eps_bar, h_bar, log_t, adam_m, adam_v, mass_inv = jax.lax.cond(
+            warmup, adapt, frozen
+        )
+
+        return dict(
+            pos=pos_new,
+            lp=lp_new,
+            grad=grad_new,
+            keys=carry["keys"],
+            eps=eps_new,
+            eps_bar=eps_bar,
+            h_bar=h_bar,
+            mu=carry["mu"],
+            log_t=log_t,
+            adam_m=adam_m,
+            adam_v=adam_v,
+            mass_inv=mass_inv,
+            n_divergent=carry["n_divergent"]
+            + (diverged & ~warmup).astype(jnp.int32),
+            n_leapfrog=carry["n_leapfrog"]
+            + n_steps.astype(carry["n_leapfrog"].dtype),
+        )
+
+    def _positions(self, carry):
+        return carry["pos"]
+
+    # -- extras ----------------------------------------------------------------
+    @property
+    def divergences(self):
+        """Per-chain post-warmup divergence counts from the last run."""
+        return getattr(self, "_final_carry", {}).get("n_divergent")
+
+    @property
+    def adapted_step_size(self):
+        return getattr(self, "_final_carry", {}).get("eps_bar")
+
+    @property
+    def adapted_trajectory_length(self):
+        """Adapted maximum trajectory time T (jitter draws from (0, T))."""
+        c = getattr(self, "_final_carry", {})
+        return None if "log_t" not in c else jnp.exp(c["log_t"])
+
+    @property
+    def adapted_mass_inv(self):
+        """Adapted diagonal M⁻¹ = Σ̂ (shared across chains)."""
+        return getattr(self, "_final_carry", {}).get("mass_inv")
+
+    @property
+    def leapfrog_count(self):
+        """Per-chain total gradient evaluations from the last run."""
+        return getattr(self, "_final_carry", {}).get("n_leapfrog")

@@ -1,0 +1,165 @@
+"""ChEES-HMC tests (samplers/chees.py — beyond-reference extension).
+
+Covers the Halton jitter stream, moment correctness on a correlated
+Gaussian, adaptation quality on the ill-conditioned headline-style target
+(ε, trajectory length, cross-chain variance metric), determinism,
+run/chain composition, and jitter/adaptation invariants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from general_mcmc_tpu import ChEESHMC, DiffableGaussian2D, GaussianND, init_det
+from general_mcmc_tpu.core import init_with_seed
+from general_mcmc_tpu.diagnostics.stats import split_rhat_mean_ess
+from general_mcmc_tpu.samplers.chees import halton_base2
+
+
+def _gauss_target():
+    return DiffableGaussian2D(
+        mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+    )
+
+
+def test_halton_base2_prefix():
+    # base-2 radical inverse of 1..8: the classic van der Corput prefix
+    got = [float(halton_base2(m)) for m in range(8)]
+    np.testing.assert_allclose(
+        got, [0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875, 0.0625]
+    )
+
+
+def test_halton_base2_uniform_and_jittable():
+    u = jax.jit(jax.vmap(halton_base2))(jnp.arange(4096))
+    u = np.asarray(u)
+    assert (u > 0).all() and (u < 1).all()
+    # low-discrepancy: every one of 16 equal bins gets exactly 256 of 4096
+    hist, _ = np.histogram(u, bins=16, range=(0.0, 1.0))
+    assert (hist == 256).all()
+
+
+def test_chees_shapes_and_finiteness():
+    sampler = ChEESHMC(_gauss_target(), init_det(3, 2), seed=42)
+    sample = sampler.run(50, 20)
+    assert sample.shape == (3, 50, 2)
+    assert np.isfinite(np.asarray(sample)).all()
+    assert int(jnp.sum(sampler.leapfrog_count)) >= 70 * 3  # >= 1 leapfrog/step
+    assert sampler.adapted_trajectory_length is not None
+
+
+def test_chees_gaussian_moments():
+    sampler = ChEESHMC(_gauss_target(), init_det(64, 2), seed=1)
+    sample = np.asarray(sampler.run(400, 400)).reshape(-1, 2)
+    np.testing.assert_allclose(sample.mean(axis=0), [0.0, 1.0], atol=0.3)
+    emp_cov = np.cov(sample.T)
+    np.testing.assert_allclose(emp_cov, [[4.0, 2.0], [2.0, 3.0]], atol=0.6)
+
+
+def test_chees_adaptation_ill_conditioned():
+    # miniature of the headline bench target: 10-d, marginal scales 1..10
+    dim = 10
+    scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), dim))
+    target = GaussianND(mean=jnp.zeros(dim), cov=scales)
+    sampler = ChEESHMC(target, init_with_seed(128, dim, 0), seed=0)
+    sample = sampler.run(400, 400)
+    rhat, ess, _mean, std = split_rhat_mean_ess(sample, return_moments=True)
+    assert float(jnp.max(rhat)) < 1.05
+    assert float(jnp.min(ess)) > 2000.0
+    # moment audit vs the analytic marginals (R-hat alone cannot see a
+    # globally-wrong stationary distribution)
+    assert float(jnp.max(jnp.abs(std / scales - 1.0))) < 0.15
+    # the cross-chain variance metric recovers the marginal variances
+    mass_rel = np.asarray(sampler.adapted_mass_inv / scales**2)
+    assert (np.abs(mass_rel - 1.0) < 0.5).all()
+    # trajectory length adapted away from its 1.0 init, into a sane range
+    t_max = float(sampler.adapted_trajectory_length)
+    assert 0.5 < t_max < 20.0
+    assert float(sampler.adapted_step_size) > 0.05
+    assert int(jnp.sum(sampler.divergences)) == 0
+
+
+def test_chees_determinism():
+    a = ChEESHMC(_gauss_target(), init_det(4, 2), seed=7).run(60, 30)
+    b = ChEESHMC(_gauss_target(), init_det(4, 2), seed=7).run(60, 30)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = ChEESHMC(_gauss_target(), init_det(4, 2), seed=8).run(60, 30)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_chees_chain_equals_run():
+    # incremental driving visits exactly the states of a fused run,
+    # including the warmup-schedule binding (the NUTS _Sched pattern)
+    ref = ChEESHMC(_gauss_target(), init_det(4, 2), seed=3).run(40, 25)
+    chain = ChEESHMC(_gauss_target(), init_det(4, 2), seed=3).chain(n_warmup=25)
+    chain.step(25)
+    got = chain.step(40)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-6)
+
+
+def test_chees_thin_strides_unthinned_stream():
+    ref = ChEESHMC(_gauss_target(), init_det(4, 2), seed=5).run(60, 20)
+    thinned = ChEESHMC(_gauss_target(), init_det(4, 2), seed=5).run(
+        20, 20, thin=3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref[:, 2::3]), np.asarray(thinned), rtol=1e-6
+    )
+
+
+def test_chees_jitter_amount_validation():
+    with pytest.raises(ValueError):
+        ChEESHMC(_gauss_target(), init_det(2, 2), jitter_amount=0.0)
+    with pytest.raises(ValueError):
+        ChEESHMC(_gauss_target(), init_det(2, 2), jitter_amount=1.5)
+    with pytest.raises(ValueError):
+        ChEESHMC(_gauss_target(), init_det(2, 2), trajectory_length=-1.0)
+    with pytest.raises(ValueError):
+        ChEESHMC(_gauss_target(), init_det(2, 2), max_leapfrog=0)
+
+
+def test_chees_partial_jitter_law():
+    # jitter_amount < 1 keeps trajectories in ((1-j)T, T]: leapfrog counts
+    # per step must exceed the full-jitter law's short-trajectory draws
+    full = ChEESHMC(
+        _gauss_target(), init_det(16, 2), seed=2, jitter_amount=1.0,
+        step_size=0.3, trajectory_length=2.4, mass_adaptation=False,
+    )
+    part = ChEESHMC(
+        _gauss_target(), init_det(16, 2), seed=2, jitter_amount=0.25,
+        step_size=0.3, trajectory_length=2.4, mass_adaptation=False,
+    )
+    full.run(50, 0)  # n_discard=0: adaptation frozen, fixed T and eps
+    part.run(50, 0)
+    # partial jitter: every trajectory uses >= (1-0.25)*2.4/0.3 = 6 steps
+    assert int(jnp.min(part.leapfrog_count)) >= 6 * 50
+    # full jitter: halton u=0.5 first -> some trajectories far shorter
+    assert int(jnp.min(full.leapfrog_count)) < int(jnp.min(part.leapfrog_count))
+
+
+def test_chees_no_adaptation_post_warmup():
+    sampler = ChEESHMC(_gauss_target(), init_det(8, 2), seed=11)
+    sampler.run(30, 25)
+    carry = sampler._final_carry
+    eps_bar = float(carry["eps_bar"])
+    log_t = float(carry["log_t"])
+    mass = np.asarray(carry["mass_inv"])
+    # continue post-warmup via resume-style run: adapted state must be frozen
+    out = jax.tree_util.tree_map(
+        lambda x: x, sampler._step_fn(carry, jnp.asarray(60))
+    )
+    assert float(out["eps_bar"]) == eps_bar
+    assert float(out["log_t"]) == log_t
+    np.testing.assert_array_equal(np.asarray(out["mass_inv"]), mass)
+    assert float(out["eps"]) == eps_bar
+
+
+def test_chees_tracked_quantities():
+    # the Trace hook composes like every other sampler (core.rs:34-72)
+    sampler = ChEESHMC(_gauss_target(), init_det(4, 2), seed=6).track(
+        lambda x: x[:, :1] ** 2
+    )
+    sample = sampler.run(30, 10)
+    assert sample.shape == (4, 30, 1)
+    assert np.isfinite(np.asarray(sample)).all()
