@@ -224,7 +224,11 @@ class ChEESHMC(BatchSampler):
             log_t=jnp.log(jnp.asarray(self.trajectory_length0, dtype)),
             adam_m=zero,
             adam_v=zero,
-            mass_inv=jnp.ones((d,), dtype),
+            # per-chain [n, d] like the NUTS MassMatrix: every row is
+            # identical (the metric is cross-chain), but the per-chain
+            # leading axis keeps the carry uniformly shardable over a
+            # chains mesh (parallel/mesh.py shards all 1-D leaves)
+            mass_inv=jnp.ones((n, d), dtype),
             n_divergent=jnp.zeros((n,), jnp.int32),
             n_leapfrog=jnp.zeros((n,), jnp.int64)
             if jax.config.jax_enable_x64
@@ -240,7 +244,7 @@ class ChEESHMC(BatchSampler):
         m1 = (m + 1).astype(dtype)
         warmup = m1 <= n_discard
         eps = carry["eps"]
-        inv = carry["mass_inv"]  # [d] diag of M⁻¹ = Σ̂ (Stan metric)
+        inv = carry["mass_inv"]  # [n, d] diag of M⁻¹ = Σ̂ (rows identical)
         mom_std = 1.0 / jnp.sqrt(inv)
 
         # jittered integration time and the shared scalar leapfrog count
@@ -344,7 +348,8 @@ class ChEESHMC(BatchSampler):
             if self.mass_adaptation:
                 var = jnp.var(pos_new, axis=0)
                 mass_inv = jnp.maximum(
-                    (1.0 - self.mass_ema) * inv + self.mass_ema * var, 1e-8
+                    (1.0 - self.mass_ema) * inv + self.mass_ema * var[None, :],
+                    1e-8,
                 )
             else:
                 mass_inv = inv
@@ -405,8 +410,9 @@ class ChEESHMC(BatchSampler):
 
     @property
     def adapted_mass_inv(self):
-        """Adapted diagonal M⁻¹ = Σ̂ (shared across chains)."""
-        return getattr(self, "_final_carry", {}).get("mass_inv")
+        """Adapted diagonal M⁻¹ = Σ̂ ([d]; every chain shares the metric)."""
+        m = getattr(self, "_final_carry", {}).get("mass_inv")
+        return None if m is None else m[0]
 
     @property
     def leapfrog_count(self):

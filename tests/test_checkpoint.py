@@ -198,6 +198,17 @@ _FACTORIES = {
         backend="static",
         proposal="multinomial",
     ),
+    # post-warmup ChEES-HMC: the Halton jitter is indexed by the absolute
+    # step counter and the adapted state rides in the carry, so a resumed
+    # run replays the exact trajectory-length stream
+    "chees": lambda: __import__("general_mcmc_tpu").ChEESHMC(
+        DiffableGaussian2D(
+            mean=jnp.array([0.0, 1.0]), cov=jnp.array([[4.0, 2.0], [2.0, 3.0]])
+        ),
+        init_det(4, 2),
+        step_size=0.3,
+        trajectory_length=1.8,
+    ),
 }
 
 

@@ -124,6 +124,46 @@ def test_nuts_dim_sharded_with_adaptation_compiles():
     assert np.isfinite(shard).all()
 
 
+def test_chees_sharded_matches_unsharded():
+    """ChEES-HMC is the one sampler whose *adaptation* reduces across
+    chains every warmup step (batch means/variances for the ChEES gradient
+    and the metric), so sharding must reproduce those collectives.  f64
+    keeps the cross-shard reduction-order noise far below the ⌈t/ε⌉
+    leapfrog-count decision boundaries; positions then match to 1e-8."""
+    from general_mcmc_tpu import ChEESHMC
+
+    target = DiffableGaussian2D(
+        mean=jnp.array([0.0, 1.0], jnp.float64),
+        cov=jnp.array([[4.0, 2.0], [2.0, 3.0]], jnp.float64),
+    )
+    inits = init_det(16, 2, dtype=jnp.float64)
+    c1 = ChEESHMC(target, inits, seed=4)
+    ref = np.asarray(c1.run(12, 12))
+    c2 = ChEESHMC(target, inits, seed=4)
+    shard = np.asarray(run_sharded(c2, 12, 12, chain_mesh(8)))
+    np.testing.assert_allclose(shard, ref, atol=1e-8)
+    np.testing.assert_array_equal(
+        np.asarray(c2.divergences), np.asarray(c1.divergences)
+    )
+
+
+def test_chees_dim_sharded_2d_mesh():
+    """chains × dim mesh: the [n, d] metric rows and the [d]-axis
+    reductions (kinetic energy, ChEES norms) partition over ``dim`` with
+    XLA-inserted collectives."""
+    from general_mcmc_tpu import ChEESHMC
+
+    target = GaussianND(
+        mean=jnp.zeros(8), cov=jnp.linspace(1.0, 3.0, 8).astype(jnp.float64)
+    )
+    inits = init_det(8, 8, dtype=jnp.float64)
+    c1 = ChEESHMC(target, inits, seed=11)
+    ref = np.asarray(c1.run(8, 8))
+    c2 = ChEESHMC(target, inits, seed=11)
+    shard = np.asarray(run_sharded(c2, 8, 8, make_mesh(4, 2), shard_dim=True))
+    np.testing.assert_allclose(shard, ref, atol=1e-8)
+
+
 def test_pooled_rhat_sharded_matches_host():
     key = jax.random.key(0)
     n_chains, n_steps, p = 16, 40, 3
