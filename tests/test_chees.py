@@ -155,6 +155,57 @@ def test_chees_no_adaptation_post_warmup():
     assert float(out["eps"]) == eps_bar
 
 
+def test_chees_static_collection_moments():
+    # the static-L / jittered-eps collection law samples the same target
+    sampler = ChEESHMC(
+        _gauss_target(), init_det(64, 2), seed=1, static_collection=True
+    )
+    sample = np.asarray(sampler.run(400, 400)).reshape(-1, 2)
+    np.testing.assert_allclose(sample.mean(axis=0), [0.0, 1.0], atol=0.3)
+    emp_cov = np.cov(sample.T)
+    np.testing.assert_allclose(emp_cov, [[4.0, 2.0], [2.0, 3.0]], atol=0.6)
+    assert sampler._static_L >= 1
+    # leapfrog accounting: exactly L per collected step
+    lf = np.asarray(sampler.leapfrog_count)
+    assert (lf == lf[0]).all()
+
+
+def test_chees_static_collection_determinism_and_resume(tmp_path):
+    def make():
+        return ChEESHMC(
+            _gauss_target(), init_det(8, 2), seed=9, static_collection=True
+        )
+
+    ref = np.asarray(make().run(30, 24))
+    again = np.asarray(make().run(30, 24))
+    np.testing.assert_array_equal(ref, again)
+
+    # resume == uninterrupted: L re-derives identically from the frozen
+    # carry, and the Halton/step-key streams are position-indexed
+    part = make()
+    first = np.asarray(part.run(18, 24))
+    path = str(tmp_path / "chees_static.npz")
+    part.save_checkpoint(path)
+    rest = np.asarray(make().resume(path, 12))
+    np.testing.assert_array_equal(first, ref[:, :18])
+    np.testing.assert_array_equal(rest, ref[:, 18:])
+
+
+def test_chees_static_collection_ill_conditioned():
+    dim = 10
+    scales = jnp.exp(jnp.linspace(0.0, jnp.log(10.0), dim))
+    target = GaussianND(mean=jnp.zeros(dim), cov=scales)
+    sampler = ChEESHMC(
+        target, init_with_seed(128, dim, 0), seed=0, target_accept_p=0.9,
+        jitter_amount=0.5, static_collection=True,
+    )
+    sample = sampler.run(400, 400)
+    rhat, ess, _mean, std = split_rhat_mean_ess(sample, return_moments=True)
+    assert float(jnp.max(rhat)) < 1.05
+    assert float(jnp.max(jnp.abs(std / scales - 1.0))) < 0.15
+    assert int(jnp.sum(sampler.divergences)) == 0
+
+
 def test_chees_tracked_quantities():
     # the Trace hook composes like every other sampler (core.rs:34-72)
     sampler = ChEESHMC(_gauss_target(), init_det(4, 2), seed=6).track(

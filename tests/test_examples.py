@@ -187,3 +187,13 @@ def test_multinomial_nuts_example():
     for rhat_max, min_ess in results.values():
         assert rhat_max < 1.05
         assert min_ess > 500
+
+
+def test_chees_hmc_example():
+    import numpy as np
+    import chees_hmc
+
+    sample = chees_hmc.main()  # asserts R-hat + moment audit internally
+    flat = np.asarray(sample).reshape(-1, 16)
+    scales = np.exp(np.linspace(0.0, np.log(10.0), 16))
+    np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.12)
