@@ -372,8 +372,14 @@ class ChEESHMC(BatchSampler):
             da_dt = 2.0 * jnp.sum(cp * (inv * mom_ps), axis=1)
             chees = jnp.mean(w * a_gap * a_gap) * 0.25
             d_chees = jnp.mean(w * a_gap * da_dt) * 0.5 * t_eff
-            # criterion-normalized gradient (scale-free lr, tfp.mcmc's trick)
-            g_norm = d_chees / (chees + 1e-20)
+            # criterion-normalized gradient (scale-free lr, tfp.mcmc's
+            # trick), clipped: with a near-zero criterion (barely-moving
+            # early chains) the ratio can overflow f32 when squared for the
+            # Adam second moment — inf/inf then latches log T at NaN
+            # (observed on the hierarchical logistic target); Adam's
+            # normalized update is ~lr regardless, so the clip only tames
+            # transients
+            g_norm = jnp.clip(d_chees / (chees + 1e-20), -1e3, 1e3)
             adam_m = _B1 * carry["adam_m"] + (1.0 - _B1) * g_norm
             adam_v = _B2 * carry["adam_v"] + (1.0 - _B2) * g_norm * g_norm
             m_hat = adam_m / (1.0 - _B1**m1)
@@ -391,10 +397,17 @@ class ChEESHMC(BatchSampler):
             h_bar = (1.0 - eta) * carry["h_bar"] + eta * (
                 self.target_accept_p - accept_stat
             )
-            eps_w = jnp.exp(carry["mu"] - jnp.sqrt(m1) / _GAMMA * h_bar)
+            # log-space clamp: a run of all-accepts early in warmup can push
+            # the exponent past f32 overflow (eps = inf latches eps_bar at
+            # inf through its own log — observed on the hierarchical
+            # logistic target); ±16/+8 nats is far outside any useful ε
+            log_eps_w = jnp.clip(
+                carry["mu"] - jnp.sqrt(m1) / _GAMMA * h_bar, -16.0, 8.0
+            )
+            eps_w = jnp.exp(log_eps_w)
             eta2 = m1 ** (-_KAPPA)
             eps_bar = jnp.exp(
-                (1.0 - eta2) * jnp.log(carry["eps_bar"]) + eta2 * jnp.log(eps_w)
+                (1.0 - eta2) * jnp.log(carry["eps_bar"]) + eta2 * log_eps_w
             )
 
             # diagonal metric from cross-chain variance (Stan M⁻¹ = Σ̂);
@@ -514,6 +527,17 @@ class ChEESHMC(BatchSampler):
         else:
             eps_bar = float(carry["eps_bar"])
             t_max = float(jnp.exp(carry["log_t"]))
+            import math
+
+            if not (math.isfinite(eps_bar) and math.isfinite(t_max)
+                    and eps_bar > 0.0):
+                raise RuntimeError(
+                    f"ChEES warmup produced a non-finite adapted state "
+                    f"(eps_bar={eps_bar}, T={t_max}) — the target likely "
+                    "returned non-finite log-densities throughout warmup; "
+                    "check the initial positions / target, or pass "
+                    "static_leapfrog / step_size explicitly"
+                )
             mean_t = t_max * (1.0 - 0.5 * self.jitter_amount)
             L = max(1, min(self.max_leapfrog, round(mean_t / eps_bar)))
         self._static_L = L  # observable (bench logging, tests)

@@ -206,6 +206,23 @@ def test_chees_static_collection_ill_conditioned():
     assert int(jnp.sum(sampler.divergences)) == 0
 
 
+def test_chees_dual_averaging_overflow_guard():
+    """A long run of all-accepts (tiny initial ε) drives the dual-averaging
+    exponent past f32 overflow; without the log-space clamp ε̄ latches at
+    inf through its own log (observed on the hierarchical logistic target
+    on TPU).  f32 state reproduces it on CPU."""
+    sampler = ChEESHMC(
+        _gauss_target(),
+        init_det(16, 2),  # float32 — the overflow dtype
+        step_size=1e-6,
+        seed=0,
+    )
+    sample = sampler.run(10, 250)
+    assert np.isfinite(np.asarray(sample)).all()
+    eps = float(sampler.adapted_step_size)
+    assert np.isfinite(eps) and 1e-8 < eps < 3e3
+
+
 def test_chees_tracked_quantities():
     # the Trace hook composes like every other sampler (core.rs:34-72)
     sampler = ChEESHMC(_gauss_target(), init_det(4, 2), seed=6).track(
