@@ -508,6 +508,9 @@ def logistic_extra():
         note=" [incl. compile]" if len(walls) == 1 else "",
         wl_desc=desc, ref=ref, ref_kind=ref_kind, n_warmup=warmup,
         headline=False,
+        # this extra line always runs NUTS (the stretch-config champion) —
+        # never inherit the global (ChEES) sampler label
+        sampler_desc="NUTS",
     )
 
 
