@@ -85,41 +85,103 @@ def _scan_steps(step_fn, carry, start: int, n_steps: int, collect: bool,
     return carry, ys
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
-def _run_compiled(step_fn, carry, n_collect: int, n_discard: int, offset: int,
-                  thin: int = 1):
+def _run_impl(step_fn, carry, n_collect: int, n_discard: int, offset: int,
+              thin: int = 1):
     if n_discard > 0:
         carry, _ = _scan_steps(step_fn, carry, offset, n_discard, collect=False)
     carry, samples = _scan_steps(
         step_fn, carry, offset + n_discard, n_collect, collect=True, thin=thin
     )
-    samples = _constrain_row_major(samples)
     return carry, samples
 
 
-def _constrain_row_major(samples):
-    """Pin the collected-samples buffer to row-major [steps, chains, dim].
+_run_compiled = functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))(
+    _run_impl
+)
 
-    Left to itself the TPU compiler picks a dim-MAJOR layout for the scan
-    output ({1,0,2}: chains on lanes, steps on sublanes), which turns every
-    per-step store into ~dim strided plane writes — profiled at 218 µs per
-    4.1 MB slice (~8× write amplification) on the benchmark shapes.  Row-
-    major makes the store one contiguous write.  CPU (tests, goldens) is
-    left alone."""
-    if (
-        jax.default_backend() == "cpu"
-        or not isinstance(samples, jax.Array)
-        or samples.size == 0
-        or jnp.issubdtype(samples.dtype, jax.dtypes.prng_key)
+# Per-device cache of layout-pinned runners (see _pinned_runner).
+_PINNED_RUNNERS: dict = {}
+
+
+def _pinned_runner(dev):
+    """A jitted runner whose SAMPLES output entry layout is pinned
+    steps-major: ``major_to_minor=(0, 2, 1)`` — steps, then dim, chains on
+    the minor (lane) axis.
+
+    Left to itself the TPU compiler picks a d-MAJOR layout ({1,0,2}) for
+    the [steps, chains, dim] scan buffer, turning every per-step store into
+    ~8× write-amplified strided plane writes — profiled at 217 µs per
+    4.1 MB slice, 3× the whole collection step's compute on the benchmark
+    shapes.  `jax.experimental.layout.with_layout_constraint` does NOT fix
+    this: jax 0.9 emits the LayoutConstraint custom-call with swapped
+    operand/result conventions and XLA drops it (AOT HLO shows the buffer
+    still {1,0,2} and no constraint surviving).  Pinning the ENTRY
+    computation output layout via jit(out_shardings=Format(...)) IS
+    honored and propagates steps-major into the while-loop buffer, making
+    every per-step store contiguous.  Measured on the ChEES collection
+    program (1024×10240×100): 347 → 123 µs/draw (2.8×).
+
+    Why (0, 2, 1) and not row-major (0, 1, 2): XLA's loop buffer is
+    steps-major-chains-minor either way (it minimizes padding: d pads
+    100→104 sublanes vs 100→128 lanes); requesting row-major therefore
+    appends a full relayout copy — ~10 ms AND a second 16 GiB buffer at
+    the bench shape (3072×10240×100), an OOM where the copy-free (0,2,1)
+    pin peaks at 13.1 GiB (the pre-pin d-major buffer was 12.6 GiB).
+    Chains stay the minor axis exactly as in the pre-pin layout, so the
+    chains-chunked diagnostics see the orientation they were probed with
+    in round 3 (traced-offset lane slices — safe; stats._suffstats_all).
+    """
+    try:
+        return _PINNED_RUNNERS[dev]
+    except KeyError:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        fmt = Format(
+            Layout(major_to_minor=(0, 2, 1)), SingleDeviceSharding(dev)
+        )
+        runner = jax.jit(
+            _run_impl,
+            static_argnums=(0, 2, 3, 4, 5),
+            out_shardings=(None, fmt),
+        )
+        _PINNED_RUNNERS[dev] = runner
+        return runner
+
+
+def _pin_device(step_fn, carry, n_collect: int):
+    """The device to pin the samples layout on, or None to run unpinned.
+
+    Pinning applies only where the write-amplification pathology exists and
+    the entry-layout mechanism is valid: a non-CPU backend, every carry
+    leaf resident on ONE common device (sharded runs keep jit-inferred
+    shardings), and a plain 2-D non-PRNG-key extract (PRNG-key arrays hide
+    a trailing dim, so their ndim lies to the layout API)."""
+    if n_collect == 0 or jax.default_backend() == "cpu":
+        return None
+    dev = None
+    for leaf in jax.tree.leaves(carry):
+        if isinstance(leaf, jax.core.Tracer):
+            return None  # nested-trace caller — leave layouts alone
+        if not isinstance(leaf, jax.Array):
+            continue  # python/numpy scalar: placed on the default device
+        ds = leaf.sharding.device_set
+        if len(ds) != 1:
+            return None
+        (d,) = ds
+        if dev is None:
+            dev = d
+        elif d != dev:
+            return None
+    if dev is None or dev.platform == "cpu":
+        return None
+    snap = jax.eval_shape(step_fn.extract, carry)
+    leaves = jax.tree.leaves(snap)
+    if len(leaves) != 1 or leaves[0].ndim != 2 or jnp.issubdtype(
+        leaves[0].dtype, jax.dtypes.prng_key
     ):
-        # PRNG key arrays carry a hidden trailing dim — ndim lies about the
-        # physical rank, so a layout constraint on them fails verification.
-        return samples
-    from jax.experimental.layout import Layout, with_layout_constraint
-
-    return with_layout_constraint(
-        samples, Layout(major_to_minor=tuple(range(samples.ndim)))
-    )
+        return None
+    return dev
 
 
 def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
@@ -152,7 +214,9 @@ def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
         carry, _ = _run_compiled(step_fn, carry, 0, n_discard, step_offset, 1)
         step_offset += n_discard
         n_discard = 0
-    carry, samples = _run_compiled(
+    pin_dev = _pin_device(step_fn, carry, n_collect)
+    runner = _pinned_runner(pin_dev) if pin_dev is not None else _run_compiled
+    carry, samples = runner(
         step_fn, carry, n_collect, n_discard, step_offset, thin
     )
     return KernelRun(carry, samples)

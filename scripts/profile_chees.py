@@ -32,6 +32,15 @@ DIM = int(os.environ.get("GMT_EXP_DIM", 100))
 STEPS = int(os.environ.get("GMT_EXP_STEPS", 16))
 EPS = float(os.environ.get("GMT_EXP_EPS", 0.33))
 T_MAX = float(os.environ.get("GMT_EXP_T", 1.83))
+# GMT_EXP_STATIC=L: profile the static-collection step (trace-constant L
+# unrolled integration, eps-jitter) instead of the adaptive frozen step —
+# the bench champion's program (L=10 at the champion config).
+STATIC_L = int(os.environ.get("GMT_EXP_STATIC", 0))
+# GMT_EXP_STORE=1: profile the REAL collection program (run_kernel with the
+# [steps, B, d] sample store) instead of the scalar-output scan — the phase
+# breakdown (exp_chees_phases.py) showed 311 us/draw end-to-end vs 65 us
+# for the storeless scan, so the store dominates and must be ranked.
+STORE = os.environ.get("GMT_EXP_STORE") == "1"
 TRACE_DIR = os.environ.get("GMT_TRACE_DIR", "/tmp/chees_trace")
 
 
@@ -79,17 +88,30 @@ def main():
     )
     # frozen adaptation: n_discard=0 — the collection-phase program
     sampler._prepare_run(0, 0)
-    step_fn = sampler._step_fn
+    step_fn = (
+        sampler._static_collect_step(STATIC_L) if STATIC_L else sampler._step_fn
+    )
     carry = sampler._init_carry()
     # realistic adapted metric
     carry["mass_inv"] = jnp.broadcast_to(scales**2, (N, DIM))
 
-    @jax.jit
-    def many(carry):
-        def body(c, m):
-            c = step_fn(c, m)
-            return c, c["lp"][0]
-        return jax.lax.scan(body, carry, jnp.arange(STEPS))
+    if STORE:
+        from general_mcmc_tpu.core import run_kernel
+
+        wrapped = sampler._make_step_fn(step=step_fn)
+
+        def many(carry):
+            out = run_kernel(wrapped, carry, STEPS, 0)
+            return out.carry, out.samples
+
+    else:
+
+        @jax.jit
+        def many(carry):
+            def body(c, m):
+                c = step_fn(c, m)
+                return c, c["lp"][0]
+            return jax.lax.scan(body, carry, jnp.arange(STEPS))
 
     out = jax.block_until_ready(many(carry))
     t0 = time.perf_counter()
