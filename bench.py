@@ -66,15 +66,16 @@ if os.environ.get("GMT_BENCH_PLATFORM"):
 # vmapped likelihood X·β batches into a real MXU matmul.
 WORKLOAD = os.environ.get("GMT_BENCH_WORKLOAD", "gauss")
 # Sampler family: "chees" (default — ChEES-HMC, the TPU-native flagship;
-# v5e round-4 sweep: 23.5M min-ESS/s at warmup 192 / accept 0.98 / jitter
-# 0.5 / static L 10 vs the 5.97M static-NUTS champion) | "nuts" (the
-# reference's algorithm; reproduces the round-3/4 NUTS benchmark exactly).
+# v5e round 4: 71.7M min-ESS/s at warmup 192 / accept 0.98 / jitter 0.5 /
+# static L 10 with the steps-major store pin, vs the 5.97M static-NUTS
+# champion) | "nuts" (the reference's algorithm; reproduces the round-3/4
+# NUTS benchmark exactly).
 SAMPLER = os.environ.get("GMT_BENCH_SAMPLER", "chees")
 CHEES_ACCEPT = float(os.environ.get("GMT_BENCH_CHEES_ACCEPT", 0.98))
 CHEES_JITTER = float(os.environ.get("GMT_BENCH_CHEES_JITTER", 0.5))
 # Explicit static-collection leapfrog count: the derived L (= mean adapted
 # trajectory / eps) underestimates the adaptive law's round-up bias; the
-# round-4 sweep peaked at accept 0.98 / L 10 (23.5M min-ESS/s; L 11 equal,
+# round-4 sweep peaked at accept 0.98 / L 10 (L 11 equal,
 # L derived=8 at accept 0.98 and accept 0.95 variants 19-22M).  0 = derive.
 CHEES_L = int(os.environ.get("GMT_BENCH_CHEES_L", 10))
 N_CHAINS = int(os.environ.get("GMT_BENCH_CHAINS", 10_240))
