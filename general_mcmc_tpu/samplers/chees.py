@@ -189,7 +189,7 @@ class ChEESHMC(BatchSampler):
         )
         self._vg = jax.value_and_grad(self.target)
         self._vgrad = jax.vmap(self._vg)
-        self._find_eps_jit = None
+        self._init_jit = None
         self._n_discard = 0
         super().__init__(n_chains=self.initial_positions.shape[0], seed=seed)
 
@@ -211,55 +211,73 @@ class ChEESHMC(BatchSampler):
 
     # -- carry ----------------------------------------------------------------
     def _init_carry(self):
-        x0 = self.initial_positions
-        dtype = x0.dtype
-        n, d = x0.shape
-        lp0, grad0 = self._vgrad(x0)
-        lp0 = lp0.astype(dtype)
-        grad0 = grad0.astype(dtype)
-        keys = self._chain_keys
-        if self.step_size is not None:
-            eps0 = jnp.asarray(self.step_size, dtype)
-        else:
-            init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2**31 - 1))(keys)
-            if self._find_eps_jit is None:
+        """Build the initial carry in ONE compiled program.
 
-                def find_eps(k, x):
-                    mass = identity_mass(d, False, dtype)
-                    mom = sample_momentum(k, mass, False)
-                    return find_reasonable_epsilon(self._vg, x, mom, mass, False)
+        Eagerly this is ~9 device dispatches (vgrad, fold-in vmap, the
+        ε search, and a handful of constant fills); on the remote-TPU
+        tunnel each eager dispatch pays round-trip latency, and the
+        round-4 phase breakdown (scripts/exp_chees_phases.py) measured
+        the eager init at ~95 ms of the 340 ms bench rep — ~30× the
+        actual compute.  A single jitted program makes it one dispatch.
+        """
+        if self._init_jit is None:
+            # Python-level config branches (step_size, x64) are baked at
+            # trace time; the program is cached on the sampler instance.
+            def build(x0, keys):
+                dtype = x0.dtype
+                n, d = x0.shape
+                lp0, grad0 = self._vgrad(x0)
+                lp0 = lp0.astype(dtype)
+                grad0 = grad0.astype(dtype)
+                if self.step_size is not None:
+                    eps0 = jnp.asarray(self.step_size, dtype)
+                else:
+                    init_keys = jax.vmap(
+                        lambda k: jax.random.fold_in(k, 2**31 - 1)
+                    )(keys)
 
-                # jitted + cached (the NUTS lesson: the eager vmapped
-                # double-while search re-traces on every run)
-                self._find_eps_jit = jax.jit(
-                    lambda ks, xs: jnp.median(jax.vmap(find_eps)(ks, xs))
+                    def find_eps(k, x):
+                        mass = identity_mass(d, False, dtype)
+                        mom = sample_momentum(k, mass, False)
+                        return find_reasonable_epsilon(
+                            self._vg, x, mom, mass, False
+                        )
+
+                    # one shared scalar ε: the cross-chain median of the
+                    # per-chain searches is robust to stragglers in the
+                    # initial batch
+                    eps0 = jnp.median(jax.vmap(find_eps)(init_keys, x0)).astype(
+                        dtype
+                    )
+                zero = jnp.zeros((), dtype)
+                return dict(
+                    pos=x0,
+                    lp=lp0,
+                    grad=grad0,
+                    keys=keys,
+                    eps=eps0,
+                    eps_bar=eps0,
+                    h_bar=zero,
+                    mu=jnp.log(10.0 * eps0),
+                    log_t=jnp.log(
+                        jnp.asarray(self.trajectory_length0, dtype)
+                    ),
+                    adam_m=zero,
+                    adam_v=zero,
+                    # per-chain [n, d] like the NUTS MassMatrix: every row
+                    # is identical (the metric is cross-chain), but the
+                    # per-chain leading axis keeps the carry uniformly
+                    # shardable over a chains mesh (parallel/mesh.py
+                    # shards all 1-D leaves)
+                    mass_inv=jnp.ones((n, d), dtype),
+                    n_divergent=jnp.zeros((n,), jnp.int32),
+                    n_leapfrog=jnp.zeros((n,), jnp.int64)
+                    if jax.config.jax_enable_x64
+                    else jnp.zeros((n,), jnp.int32),
                 )
-            # one shared scalar ε: the cross-chain median of the per-chain
-            # searches is robust to stragglers in the initial batch
-            eps0 = self._find_eps_jit(init_keys, x0).astype(dtype)
-        zero = jnp.zeros((), dtype)
-        return dict(
-            pos=x0,
-            lp=lp0,
-            grad=grad0,
-            keys=keys,
-            eps=eps0,
-            eps_bar=eps0,
-            h_bar=zero,
-            mu=jnp.log(10.0 * eps0),
-            log_t=jnp.log(jnp.asarray(self.trajectory_length0, dtype)),
-            adam_m=zero,
-            adam_v=zero,
-            # per-chain [n, d] like the NUTS MassMatrix: every row is
-            # identical (the metric is cross-chain), but the per-chain
-            # leading axis keeps the carry uniformly shardable over a
-            # chains mesh (parallel/mesh.py shards all 1-D leaves)
-            mass_inv=jnp.ones((n, d), dtype),
-            n_divergent=jnp.zeros((n,), jnp.int32),
-            n_leapfrog=jnp.zeros((n,), jnp.int64)
-            if jax.config.jax_enable_x64
-            else jnp.zeros((n,), jnp.int32),
-        )
+
+            self._init_jit = jax.jit(build)
+        return self._init_jit(self.initial_positions, self._chain_keys)
 
     # -- shared proposal machinery -------------------------------------------
     def _propose(self, carry, m, integrate):
@@ -344,6 +362,12 @@ class ChEESHMC(BatchSampler):
                 q = q + g.astype(dtype) * half
                 return (p, q, g.astype(dtype), lpn.astype(dtype))
 
+            # Measured, rejected (round 4): 4×-unrolling this dynamic loop
+            # (main loop over n_steps//4 + three mask-selected tail
+            # leapfrogs, trajectories identical) left the warmup phase wall
+            # unchanged at ~515 µs/step — the gap to the static law's
+            # 79 µs/step is adaptation/refresh work, not while_loop
+            # scheduling, so the plain loop stays (no masked-tail waste).
             return jax.lax.fori_loop(0, n_steps, lf_body, (pos, mom, grad, lp))
 
         new, (pos_p, mom_p, ok, log_accept), diverged = self._propose(
