@@ -198,3 +198,29 @@ def test_tempering_sharded_matches_unsharded():
     ref = np.asarray(make().run(20, 5))
     sh = np.asarray(run_sharded(make(), 20, 5, chain_mesh()))
     np.testing.assert_array_equal(sh, ref)
+
+
+def test_pin_device_guards():
+    """core._pin_device gates the TPU entry-layout pin: it must decline on
+    the CPU backend, on mesh-sharded carries, under tracing, and for
+    non-2-D extracts — every case where the Format pin would be wrong
+    (docs/BENCH_HISTORY.md round 4 "Store-layout pin")."""
+    from general_mcmc_tpu.core import _pin_device
+    from general_mcmc_tpu.samplers.base import _StepFn
+    from general_mcmc_tpu.parallel import shard_carry
+
+    step = _StepFn(lambda c, m: c, lambda c: c["pos"])
+    carry = {"pos": jnp.zeros((16, 3)), "eps": jnp.zeros(()), "n": 7}
+
+    # CPU backend (this suite): always None
+    assert _pin_device(step, carry, 8) is None
+    # n_collect == 0: None regardless of backend
+    assert _pin_device(step, carry, 0) is None
+    # sharded carry: every leaf spans 8 devices
+    sharded = shard_carry(carry, chain_mesh(8))
+    assert _pin_device(step, sharded, 8) is None
+    # tracer leaves (nested-trace caller)
+    jax.jit(lambda c: (_pin_device(step, c, 8) is None) or 1 / 0)(carry)
+    # non-2-D extract
+    step3 = _StepFn(lambda c, m: c, lambda c: c["pos"][None])
+    assert _pin_device(step3, carry, 8) is None
