@@ -325,7 +325,11 @@ def _diagnostics_with_retry(sample, tries=3):
             out = split_rhat_mean_ess(sample, steps_major=True, return_moments=True)
             jax.block_until_ready(out)
             return out
-        except (jax.errors.JaxRuntimeError, RuntimeError) as e:
+        # ValueError: the round-4 NUTS rehearsal hit the helper flake as
+        # `ValueError: INVALID_ARGUMENT: TPU backend error` (the same
+        # program compiled and executed cleanly in isolation right after),
+        # which escaped the original RuntimeError-only net.
+        except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
             if attempt == tries - 1 or _left() < 180:
                 raise
             print(
@@ -553,8 +557,17 @@ if __name__ == "__main__":
         try:
             main(ladder[idx])
             break
-        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
+        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError,
+                ValueError) as e:
             msg = f"{type(e).__name__}: {e}"
+            # ValueError is only retry-worthy when it is the tunnel helper
+            # flake (`ValueError: INVALID_ARGUMENT: TPU backend error`,
+            # round 4); genuine programming errors must still fail fast.
+            if isinstance(e, ValueError) and not (
+                isinstance(e, jax.errors.JaxRuntimeError)
+                or "TPU backend error" in msg
+            ):
+                raise
             # MemoryError (host OOM) steps down the ladder too: a same-size
             # retry would just OOM again and burn the transient budget.
             oom = _is_oom(msg) or isinstance(e, MemoryError)
@@ -596,7 +609,8 @@ if __name__ == "__main__":
         try:
             _free_device_memory()
             logistic_extra()
-        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
+        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError,
+                ValueError) as e:
             print(
                 f"logistic extra failed (non-fatal): {type(e).__name__}: "
                 f"{str(e)[:1000]}",

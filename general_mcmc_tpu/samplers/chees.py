@@ -402,8 +402,18 @@ class ChEESHMC(BatchSampler):
             # Adam second moment — inf/inf then latches log T at NaN
             # (observed on the hierarchical logistic target); Adam's
             # normalized update is ~lr regardless, so the clip only tames
-            # transients
-            g_norm = jnp.clip(d_chees / (chees + 1e-20), -1e3, 1e3)
+            # transients.  The clip alone is NOT latch-proof: clip(NaN) is
+            # NaN, and the criterion itself can go non-finite — a REJECTED
+            # proposal with finite log-density but huge coordinates (the
+            # NC logistic's quadratic prior keeps lp finite out to
+            # |z| ~ 1e19) contributes w·a_gap² = 0·inf = NaN to the means,
+            # and an accepted one gives chees = inf and g = inf/inf.  A
+            # non-finite gradient estimate carries no usable signal, so
+            # skip this step's T update instead of poisoning Adam forever.
+            g_raw = d_chees / (chees + 1e-20)
+            g_norm = jnp.where(
+                jnp.isfinite(g_raw), jnp.clip(g_raw, -1e3, 1e3), 0.0
+            )
             adam_m = _B1 * carry["adam_m"] + (1.0 - _B1) * g_norm
             adam_v = _B2 * carry["adam_v"] + (1.0 - _B2) * g_norm * g_norm
             m_hat = adam_m / (1.0 - _B1**m1)

@@ -223,6 +223,38 @@ def test_chees_dual_averaging_overflow_guard():
     assert np.isfinite(eps) and 1e-8 < eps < 3e3
 
 
+def test_chees_criterion_nan_guard():
+    """A rejected proposal with FINITE log-density but huge coordinates
+    (the NC logistic prior keeps lp finite out to |z| ~ 1e19) contributes
+    w·a_gap² = 0·inf = NaN to the ChEES criterion means; without the
+    finite-gradient guard, Adam latches log T at NaN and the adapted state
+    is unusable (observed under jit on the round-4 hierarchical-logistic
+    rehearsal: eps_bar ≈ e⁸ clamp, T = nan).  Reproduce the jitted warmup
+    on the real target and assert the adapted state stays finite."""
+    from general_mcmc_tpu.core import run_kernel
+    from general_mcmc_tpu.models.regression import (
+        HierarchicalLogisticNC,
+        make_logistic_data,
+    )
+
+    dim, n_obs, n = 50, 256, 256
+    X, y, _ = make_logistic_data(jax.random.PRNGKey(1), n_obs, dim - 2)
+    sampler = ChEESHMC(
+        HierarchicalLogisticNC(X, y),
+        init_with_seed(n, dim, 0).astype(jnp.float32),
+        target_accept_p=0.9,
+        seed=0,
+    )
+    sampler._prepare_run(0, 192)
+    out = run_kernel(sampler._step_fn, sampler._init_carry(), 0, 192)
+    log_t = float(out.carry["log_t"])
+    eps_bar = float(out.carry["eps_bar"])
+    assert np.isfinite(log_t), f"log T latched non-finite: {log_t}"
+    assert np.isfinite(eps_bar) and eps_bar < 10.0, (
+        f"eps_bar ran away: {eps_bar}"
+    )
+
+
 def test_chees_tracked_quantities():
     # the Trace hook composes like every other sampler (core.rs:34-72)
     sampler = ChEESHMC(_gauss_target(), init_det(4, 2), seed=6).track(
