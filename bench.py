@@ -435,8 +435,39 @@ def _measure_and_emit(sampler, sample, wall, n_collect, note=""):
     return min_ess_per_sec
 
 
+def _attach_with_watchdog():
+    """First device contact, guarded: the tunnel can wedge SERVER-side
+    (round-4, 2026-08-18: ``jax.devices()`` blocked >20 min inside the
+    PJRT claim loop, across fresh processes, for over an hour).  A hung
+    attach would otherwise burn the driver's whole observation window
+    with zero output; the watchdog turns it into a fast, diagnosable
+    failure.  The blocked PJRT call cannot be interrupted in-process, so
+    the watchdog hard-exits (no JSON is lost — nothing was measured)."""
+    import threading
+
+    deadline = float(os.environ.get("GMT_BENCH_ATTACH_TIMEOUT_S", 600))
+    attached = threading.Event()
+
+    def _bail():
+        if attached.wait(timeout=deadline):
+            return
+        print(
+            f"FATAL: TPU attach exceeded {deadline:.0f}s — the tunnel is "
+            "wedged server-side (PJRT claim loop; see CLAUDE.md).  No "
+            "measurement is possible from this client; retry later.",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(3)
+
+    threading.Thread(target=_bail, daemon=True).start()
+    devices = jax.devices()
+    attached.set()
+    return devices
+
+
 def main(n_collect):
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"devices: {_attach_with_watchdog()}", file=sys.stderr)
     sampler = build_sampler()
 
     t0 = time.perf_counter()
