@@ -57,6 +57,25 @@ def test_chees_gaussian_moments():
     np.testing.assert_allclose(emp_cov, [[4.0, 2.0], [2.0, 3.0]], atol=0.6)
 
 
+@pytest.mark.parametrize("static_collection", [False, True])
+def test_chees_falsification_wrong_target(static_collection):
+    """The accept/falsify pairing the reference uses for MH
+    (tests/metrohast_2d_gaussian_test.rs:73-102), applied to the flagship:
+    sampling a WRONG target (9·I Gaussian) must not satisfy the moment
+    envelope of test_chees_gaussian_moments, guarding against vacuous
+    tolerances — in both the adaptive and the static-collection
+    (bench-path) law."""
+    wrong = DiffableGaussian2D(
+        mean=jnp.array([0.0, 1.0]), cov=jnp.array([[9.0, 0.0], [0.0, 9.0]])
+    )
+    sampler = ChEESHMC(
+        wrong, init_det(64, 2), seed=1, static_collection=static_collection
+    )
+    sample = np.asarray(sampler.run(400, 400)).reshape(-1, 2)
+    emp_cov = np.cov(sample.T)
+    assert np.max(np.abs(emp_cov - np.array([[4.0, 2.0], [2.0, 3.0]]))) > 1.0
+
+
 def test_chees_adaptation_ill_conditioned():
     # miniature of the headline bench target: 10-d, marginal scales 1..10
     dim = 10
