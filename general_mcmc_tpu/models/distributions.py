@@ -41,6 +41,7 @@ __all__ = [
     "Poisson",
     "Binomial",
     "as_logp_fn",
+    "as_grad_fn",
 ]
 
 
@@ -49,6 +50,25 @@ def as_logp_fn(target):
     if callable(target) and not hasattr(target, "unnorm_logp"):
         return target
     return target.unnorm_logp
+
+
+def as_grad_fn(target):
+    """Optional analytic-gradient override: ``target.unnorm_logp_grad(x)
+    -> [dim]`` if the target provides one, else ``None``.
+
+    This is the TPU-native analog of the reference's gradient override
+    point (``GradientTarget::unnorm_logp_and_grad`` has a default autodiff
+    implementation that concrete targets may replace,
+    distributions.rs:80-90).  Autodiff remains ambient — the hook exists
+    because reverse-mode ``value_and_grad`` must compute the primal
+    (the log-density reduce) on every call, while gradient-guided
+    integrators only consume the log density at trajectory ends: a
+    sampler that sees an analytic gradient can skip the per-leapfrog
+    reduce entirely (samplers/chees.py uses it on interior leapfrogs).
+    Purely an optimization: semantics must match ``jax.grad(logp)``.
+    """
+    fn = getattr(target, "unnorm_logp_grad", None)
+    return fn if callable(fn) else None
 
 
 def _asarray(x, dtype=None):
@@ -166,6 +186,18 @@ class GaussianND:
             return -0.5 * jnp.sum(diff * diff * self._diag_prec)
         y = jax.scipy.linalg.solve_triangular(self._chol, diff, lower=True)
         return -0.5 * jnp.sum(y * y)
+
+    def unnorm_logp_grad(self, x):
+        """Analytic ∇logp = −Σ⁻¹(x − μ) (see :func:`as_grad_fn`): lets
+        gradient-guided samplers skip the log-density reduce on interior
+        leapfrogs.  Matches ``jax.grad(unnorm_logp)`` to float rounding."""
+        diff = jnp.asarray(x) - self.mean
+        if self._diag_prec is not None:
+            return -diff * self._diag_prec
+        y = jax.scipy.linalg.solve_triangular(self._chol, diff, lower=True)
+        return -jax.scipy.linalg.solve_triangular(
+            self._chol.T, y, lower=False
+        )
 
     __call__ = unnorm_logp
 

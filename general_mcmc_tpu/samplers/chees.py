@@ -55,7 +55,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.distributions import as_logp_fn
+from ..models.distributions import as_grad_fn, as_logp_fn
 from ..ops.tree import find_reasonable_epsilon, identity_mass, sample_momentum
 from ..rng import step_key
 from .base import BatchSampler
@@ -189,6 +189,13 @@ class ChEESHMC(BatchSampler):
         )
         self._vg = jax.value_and_grad(self.target)
         self._vgrad = jax.vmap(self._vg)
+        # Analytic-gradient override (as_grad_fn, distributions.rs:80-90
+        # parity note): interior leapfrogs only need ∇logp — the log
+        # density is consumed at trajectory ends — so a target that
+        # provides one lets the integrators skip the per-step primal
+        # reduce that reverse-mode value_and_grad always pays.
+        _g = as_grad_fn(target)
+        self._ggrad = None if _g is None else jax.vmap(_g)
         self._init_jit = None
         self._n_discard = 0
         super().__init__(n_chains=self.initial_positions.shape[0], seed=seed)
@@ -362,25 +369,43 @@ class ChEESHMC(BatchSampler):
             half = 0.5 * eps
             inv_eps = inv * eps
 
-            def lf_body(_, st):
-                p, q, g, _lp = st
-                p = p + q * inv_eps
-                lpn, g = self._vgrad(p)
-                # targets with f64 parameters promote under x64; the carry
-                # is dtype-stable in the positions' dtype
-                q = q + g.astype(dtype) * eps
-                return (p, q, g.astype(dtype), lpn.astype(dtype))
-
             # Measured, rejected (round 4): 4×-unrolling this dynamic loop
             # (main loop over n_steps//4 + three mask-selected tail
             # leapfrogs, trajectories identical) left the warmup phase wall
             # unchanged at ~515 µs/step — the gap to the static law's
             # 79 µs/step is adaptation/refresh work, not while_loop
             # scheduling, so the plain loop stays (no masked-tail waste).
-            p, q, g, lpn = jax.lax.fori_loop(
-                0, n_steps, lf_body, (pos, mom + grad * half, grad, lp)
+            if self._ggrad is None:
+
+                def lf_body(_, st):
+                    p, q, g, _lp = st
+                    p = p + q * inv_eps
+                    lpn, g = self._vgrad(p)
+                    # targets with f64 parameters promote under x64; the
+                    # carry is dtype-stable in the positions' dtype
+                    q = q + g.astype(dtype) * eps
+                    return (p, q, g.astype(dtype), lpn.astype(dtype))
+
+                p, q, g, lpn = jax.lax.fori_loop(
+                    0, n_steps, lf_body, (pos, mom + grad * half, grad, lp)
+                )
+                return p, q - g * half, g, lpn
+
+            # analytic-gradient interior (no per-step primal reduce); the
+            # final leapfrog runs value_and_grad for the MH log density
+            def lf_body_g(_, st):
+                p, q, _g = st
+                p = p + q * inv_eps
+                g = self._ggrad(p).astype(dtype)
+                return (p, q + g * eps, g)
+
+            p, q, _g = jax.lax.fori_loop(
+                0, n_steps - 1, lf_body_g, (pos, mom + grad * half, grad)
             )
-            return p, q - g * half, g, lpn
+            p = p + q * inv_eps
+            lpn, g = self._vgrad(p)
+            g = g.astype(dtype)
+            return p, q + g * half, g, lpn.astype(dtype)
 
         new, (pos_p, mom_p, ok, log_accept), diverged = self._propose(
             carry, m, integrate
@@ -530,10 +555,19 @@ class ChEESHMC(BatchSampler):
             def integrate(pos, mom, grad, lp, inv):
                 # Fused-kick form (see the adaptive integrator): one
                 # opening half-kick, full kicks in the uniform body, and
-                # the surplus half-kick subtracted after — saves a [B, d]
-                # multiply-add per leapfrog and hoists ``inv·eps``.
+                # a closing half-kick — saves a [B, d] multiply-add per
+                # leapfrog and hoists ``inv·eps``.  With an analytic
+                # gradient (as_grad_fn) the L−1 interior steps also skip
+                # the log-density reduce; the final step runs
+                # value_and_grad for the MH log density.
                 half = 0.5 * eps_m
                 inv_eps = inv * eps_m
+
+                def one_g(st):
+                    p, q, _g = st
+                    p = p + q * inv_eps
+                    g = self._ggrad(p).astype(dtype)
+                    return (p, q + g * eps_m, g)
 
                 def one(st):
                     p, q, g, _lp = st
@@ -542,17 +576,29 @@ class ChEESHMC(BatchSampler):
                     q = q + g.astype(dtype) * eps_m
                     return (p, q, g.astype(dtype), lpn.astype(dtype))
 
-                st = (pos, mom + grad * half, grad, lp)
+                n_uniform = L if self._ggrad is None else L - 1
+                body = one if self._ggrad is None else one_g
+                st = (
+                    (pos, mom + grad * half, grad, lp)
+                    if self._ggrad is None
+                    else (pos, mom + grad * half, grad)
+                )
                 if L <= 32:  # full trace-time unroll
-                    for _ in range(L):
-                        st = one(st)
+                    for _ in range(n_uniform):
+                        st = body(st)
                 else:  # static trip count, 8x unrolled scan
                     st = jax.lax.scan(
-                        lambda c, _: (one(c), None), st, None, length=L,
-                        unroll=8,
+                        lambda c, _: (body(c), None), st, None,
+                        length=n_uniform, unroll=8,
                     )[0]
-                p, q, g, lpn = st
-                return p, q - g * half, g, lpn
+                if self._ggrad is None:
+                    p, q, g, lpn = st
+                    return p, q - g * half, g, lpn
+                p, q, _g = st
+                p = p + q * inv_eps
+                lpn, g = self._vgrad(p)
+                g = g.astype(dtype)
+                return p, q + g * half, g, lpn.astype(dtype)
 
             new, _aux, diverged = self._propose(carry, m, integrate)
             out = dict(carry)

@@ -58,6 +58,31 @@ def test_chees_gaussian_moments():
 
 
 @pytest.mark.parametrize("static_collection", [False, True])
+def test_chees_analytic_grad_interior_matches_autodiff(static_collection):
+    """The analytic-gradient interior (as_grad_fn: no per-leapfrog primal
+    reduce) must produce the same chain as the value_and_grad path — under
+    the f64 test config the two programs agree far below accept-flip
+    scale, so trajectories match to tight tolerance."""
+    scales = jnp.exp(jnp.linspace(0.0, jnp.log(5.0), 8))
+    target = GaussianND(mean=jnp.zeros(8), cov=scales)
+
+    def run(disable_override):
+        s = ChEESHMC(
+            target, init_with_seed(32, 8, 3), step_size=0.3, seed=7,
+            static_collection=static_collection,
+            static_leapfrog=5 if static_collection else None,
+        )
+        assert s._ggrad is not None  # GaussianND provides the hook
+        if disable_override:
+            s._ggrad = None
+        return np.asarray(s.run(16, 0))
+
+    np.testing.assert_allclose(
+        run(False), run(True), rtol=1e-9, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("static_collection", [False, True])
 def test_chees_falsification_wrong_target(static_collection):
     """The accept/falsify pairing the reference uses for MH
     (tests/metrohast_2d_gaussian_test.rs:73-102), applied to the flagship:

@@ -121,6 +121,33 @@ def test_gaussian_nd_diag_and_full_agree():
     assert abs(float(g_diag.unnorm_logp(x)) - float(g_full.unnorm_logp(x))) < 1e-8
 
 
+def test_gaussian_nd_analytic_grad_matches_autodiff():
+    """The as_grad_fn override must be semantically identical to
+    jax.grad(unnorm_logp) (it is a pure optimization — samplers skip the
+    interior log-density reduce with it)."""
+    import jax
+
+    from general_mcmc_tpu.models.distributions import as_grad_fn
+
+    scales = jnp.array([1.0, 2.0, 3.0])
+    mean = jnp.array([0.5, -1.0, 2.0])
+    cov_full = jnp.array([[4.0, 1.0, 0.0], [1.0, 3.0, 0.5], [0.0, 0.5, 2.0]])
+    x = jnp.array([0.3, -0.7, 1.2])
+    for target in (
+        GaussianND(mean=mean, cov=scales),
+        GaussianND(mean=mean, cov=cov_full),
+    ):
+        grad_fn = as_grad_fn(target)
+        assert grad_fn is not None
+        np.testing.assert_allclose(
+            np.asarray(grad_fn(x)),
+            np.asarray(jax.grad(target.unnorm_logp)(x)),
+            rtol=1e-10, atol=1e-12,
+        )
+    # targets without the hook report None (autodiff path stays)
+    assert as_grad_fn(lambda x: -0.5 * jnp.sum(x * x)) is None
+
+
 def test_poisson_binomial_pmfs():
     from scipy import stats as sps
 
