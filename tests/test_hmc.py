@@ -86,6 +86,27 @@ def test_hmc_marginals_ks():
         assert stat < 0.03, (j, stat)
 
 
+def test_hmc_analytic_grad_interior_matches_autodiff():
+    """With a target providing as_grad_fn (GaussianND), interior leapfrogs
+    skip the log-density reduce; the chain must match the value_and_grad
+    path to tight tolerance (f64 test config — far below accept-flip
+    scale)."""
+    from general_mcmc_tpu import GaussianND
+
+    target = GaussianND(
+        mean=jnp.zeros(4), cov=jnp.array([1.0, 2.0, 3.0, 4.0])
+    )
+
+    def run(disable_override):
+        s = HMC(target, init_det(8, 4), 0.2, 7).set_seed(3)
+        assert s._ggrad is not None
+        if disable_override:
+            s._ggrad = None
+        return np.asarray(s.run(32, 8))
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-9, atol=1e-9)
+
+
 def test_mass_matrix_hmc_moments_and_efficiency():
     """Diagonal-mass HMC (extension beyond the reference's unit-mass
     engine): on an ill-conditioned Gaussian the correct metric both keeps
