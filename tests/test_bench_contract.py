@@ -85,8 +85,10 @@ def test_two_workload_contract():
     # Gaussian's
     with open(os.path.join(_REPO, "docs", "CPU_BASELINE.json")) as f:
         ref = json.load(f)["logistic"]["min_ess_per_sec"]
+    # vs_baseline is rounded to 2 decimals in the payload; at tiny CPU
+    # smoke scale the rounding dominates, so allow half a rounding unit
     assert logistic[0]["vs_baseline"] == pytest.approx(
-        logistic[0]["value"] / ref, rel=0.05
+        logistic[0]["value"] / ref, rel=0.05, abs=0.006
     )
     assert "Gaussian" in lines[-1]["metric"]
     # the re-printed headline is byte-identical to the best headline line
