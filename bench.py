@@ -461,9 +461,13 @@ def _attach_with_watchdog():
         os._exit(3)
 
     threading.Thread(target=_bail, daemon=True).start()
-    devices = jax.devices()
-    attached.set()
-    return devices
+    try:
+        # A RAISED error (e.g. transient UNAVAILABLE) is not a hang: the
+        # ladder's retry handles it — the finally disarms the watchdog so
+        # a stale thread can never hard-exit a later, healthy attempt.
+        return jax.devices()
+    finally:
+        attached.set()
 
 
 def main(n_collect):
