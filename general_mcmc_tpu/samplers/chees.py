@@ -48,6 +48,15 @@ Deviations from the paper (documented per the repo convention):
   scale-free;
 - trajectories are capped at ``max_leapfrog`` steps per iteration (the
   paper's unbounded ``⌈t/ε⌉`` can explode while ε is still adapting).
+
+Geometry guidance (measured, docs/BENCH_HISTORY.md round 4): on
+HMC-amenable targets ChEES dominates the tree backends (12× NUTS on the
+headline Gaussian, 10.8× on the non-centered hierarchical logistic); on
+centered funnel geometry NEITHER law passes the convergence gate (the
+neck defeats any fixed-metric HMC-family sampler — ChEES still measured
+2.3× NUTS's min-ESS/s with smaller v-bias at equal non-gating quality).
+Reparameterize funnels (models/regression.py non-centered variants) and
+watch ``divergences``.
 """
 
 from __future__ import annotations
