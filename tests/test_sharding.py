@@ -147,6 +147,38 @@ def test_chees_sharded_matches_unsharded():
     )
 
 
+def test_chees_static_collection_sharded_matches_unsharded():
+    """The bench path: sharded warmup carry flowing into the unrolled
+    static-collection program (the exact program split bench.py dispatches)
+    must reproduce the unsharded chain — covers the analytic-gradient
+    interior and the host read-back of adapted scalars from a sharded
+    carry."""
+    from general_mcmc_tpu import ChEESHMC
+    from general_mcmc_tpu.core import run_kernel
+    from general_mcmc_tpu.parallel.mesh import shard_carry
+
+    target = GaussianND(
+        mean=jnp.zeros(4), cov=jnp.linspace(1.0, 2.0, 4).astype(jnp.float64)
+    )
+    inits = init_det(16, 4, dtype=jnp.float64)
+
+    def make():
+        return ChEESHMC(
+            target, inits, seed=5, static_collection=True, static_leapfrog=4
+        )
+
+    c1 = make()
+    ref = np.asarray(c1.run(12, 12))
+    c2 = make()
+    c2._prepare_run(12, 12)
+    carry = shard_carry(c2._init_carry(), chain_mesh(8))
+    out = run_kernel(c2._step_fn, carry, 0, 12)
+    samples = c2._run_static(out.carry, 12, 12)
+    shard = np.asarray(jnp.swapaxes(samples, 0, 1))
+    np.testing.assert_allclose(shard, ref, atol=1e-8)
+    assert c2._static_L == c1._static_L
+
+
 def test_chees_dim_sharded_2d_mesh():
     """chains × dim mesh: the [n, d] metric rows and the [d]-axis
     reductions (kinetic energy, ChEES norms) partition over ``dim`` with
