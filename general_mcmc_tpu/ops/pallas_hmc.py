@@ -171,17 +171,21 @@ def _hmc_kernel(
         mom = _standard_normal(x.shape)
     ke0 = 0.5 * jnp.sum(mom * inv_mul(mom), axis=1, keepdims=True)
 
+    # Fused-kick leapfrog (same transform as samplers/hmc.py): opening
+    # half-kick, full kicks in the uniform body, surplus half-kick
+    # subtracted after — one fewer [B, d] multiply-add per leapfrog;
+    # identical real arithmetic, MH accept keeps the law exact.
     def body(_, carry):
         p, m, g, _lp = carry
-        m = m + g * half
         p = p + inv_mul(m) * eps
         lp_new, g = vg_fn(p)
-        m = m + g * half
+        m = m + g * eps
         return (p, m, g, lp_new)
 
     p_new, m_new, g_new, lp_new = jax.lax.fori_loop(
-        0, n_leapfrog, body, (x, mom, grad, lp)
+        0, n_leapfrog, body, (x, mom + grad * half, grad, lp)
     )
+    m_new = m_new - g_new * half
 
     ke1 = 0.5 * jnp.sum(m_new * inv_mul(m_new), axis=1, keepdims=True)
     log_accept = (lp_new - lp) + (ke0 - ke1)  # [B, 1]
