@@ -69,6 +69,26 @@ class HierarchicalLogistic:
         lp = lp + jnp.sum(self.y * logits - jax.nn.softplus(logits))
         return lp
 
+    def unnorm_logp_grad(self, theta):
+        """Analytic ∇logp (see :func:`..models.distributions.as_grad_fn`):
+        lets gradient-guided samplers skip the per-leapfrog softplus +
+        log-density reduce — the two likelihood matmuls (``Xβ``, ``Xᵀr``)
+        are shared with autodiff, but the primal reduce is not.  Matches
+        ``jax.grad(unnorm_logp)`` to float rounding (agreement test in
+        tests/test_models.py)."""
+        mu, log_tau = theta[0], theta[1]
+        beta = theta[2:]
+        inv_tau2 = jnp.exp(-2.0 * log_tau)
+        centered = beta - mu
+        resid = self.y - jax.nn.sigmoid(self.X @ beta)
+        g_beta = self.X.T @ resid - centered * inv_tau2
+        quad = jnp.sum(centered * centered) * inv_tau2
+        g_mu = -mu + jnp.sum(centered) * inv_tau2
+        g_log_tau = -log_tau + quad - beta.shape[0]
+        return jnp.concatenate(
+            [jnp.stack([g_mu, g_log_tau]), g_beta]
+        )
+
     __call__ = unnorm_logp
 
 
@@ -108,5 +128,23 @@ class HierarchicalLogisticNC:
         logits = self.X @ (mu + jnp.exp(log_tau) * z)
         lp = lp + jnp.sum(self.y * logits - jax.nn.softplus(logits))
         return lp
+
+    def unnorm_logp_grad(self, theta):
+        """Analytic ∇logp (see :func:`..models.distributions.as_grad_fn`):
+        with ``β = μ + τz``, the likelihood gradient pulls back through
+        the reparameterization as ``∂μ = Σⱼ(Xᵀr)ⱼ``, ``∂logτ = τ·z·Xᵀr``,
+        ``∂z = τ·Xᵀr``.  Saves the per-leapfrog softplus + log-density
+        reduce on the bench stretch workload's interior leapfrogs.
+        Matches ``jax.grad(unnorm_logp)`` to float rounding (agreement
+        test in tests/test_models.py)."""
+        mu, log_tau = theta[0], theta[1]
+        z = theta[2:]
+        tau = jnp.exp(log_tau)
+        resid = self.y - jax.nn.sigmoid(self.X @ (mu + tau * z))
+        g_lik = self.X.T @ resid
+        g_mu = -mu + jnp.sum(g_lik)
+        g_log_tau = -log_tau + tau * jnp.sum(z * g_lik)
+        g_z = -z + tau * g_lik
+        return jnp.concatenate([jnp.stack([g_mu, g_log_tau]), g_z])
 
     __call__ = unnorm_logp

@@ -195,3 +195,37 @@ def test_hierarchical_logistic_nc_consistency():
         np.testing.assert_allclose(
             np.asarray(nc.beta(theta_nc)), beta, rtol=1e-10
         )
+
+
+def test_logistic_analytic_grad_matches_autodiff():
+    """The logistic targets' as_grad_fn overrides must be semantically
+    identical to jax.grad(unnorm_logp) — pure optimization (interior
+    leapfrogs skip the softplus + log-density reduce on the bench stretch
+    workload)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from general_mcmc_tpu.models.distributions import as_grad_fn
+    from general_mcmc_tpu.models.regression import (
+        HierarchicalLogistic,
+        HierarchicalLogisticNC,
+        make_logistic_data,
+    )
+
+    X, y, _ = make_logistic_data(jax.random.PRNGKey(7), 48, 6)
+    rng = np.random.default_rng(1)
+    for target in (HierarchicalLogistic(X, y), HierarchicalLogisticNC(X, y)):
+        grad_fn = as_grad_fn(target)
+        assert grad_fn is not None
+        for _ in range(4):
+            theta = jnp.asarray(
+                np.concatenate(
+                    [[rng.normal(), 0.5 * rng.normal()], rng.normal(size=6)]
+                ),
+                jnp.float64,
+            )
+            np.testing.assert_allclose(
+                np.asarray(grad_fn(theta)),
+                np.asarray(jax.grad(target.unnorm_logp)(theta)),
+                rtol=1e-9, atol=1e-11,
+            )
