@@ -119,7 +119,7 @@ TARGET_ACCEPT = float(os.environ.get("GMT_BENCH_ACCEPT", 0.90))
 # runs; its headline numbers are recorded alongside in
 # docs/BENCH_HISTORY.md for law-identical comparison).
 PROPOSAL = os.environ.get("GMT_BENCH_PROPOSAL", "multinomial")
-SEED = 0
+SEED = int(os.environ.get("GMT_BENCH_SEED", 0))  # experiments only
 # Total wall-clock budget; measured attempts stop (and retries are skipped)
 # once it is spent.  The driver's observed window is ~30 min — leave slack.
 # Note: run_kernel dispatches burn-in and collection as TWO programs on
