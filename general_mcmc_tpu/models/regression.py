@@ -75,7 +75,7 @@ class HierarchicalLogistic:
         log-density reduce — the two likelihood matmuls (``Xβ``, ``Xᵀr``)
         are shared with autodiff, but the primal reduce is not.  Matches
         ``jax.grad(unnorm_logp)`` to float rounding (agreement test in
-        tests/test_models.py)."""
+        tests/test_distributions.py)."""
         mu, log_tau = theta[0], theta[1]
         beta = theta[2:]
         inv_tau2 = jnp.exp(-2.0 * log_tau)
@@ -136,7 +136,7 @@ class HierarchicalLogisticNC:
         ``∂z = τ·Xᵀr``.  Saves the per-leapfrog softplus + log-density
         reduce on the bench stretch workload's interior leapfrogs.
         Matches ``jax.grad(unnorm_logp)`` to float rounding (agreement
-        test in tests/test_models.py)."""
+        test in tests/test_distributions.py)."""
         mu, log_tau = theta[0], theta[1]
         z = theta[2:]
         tau = jnp.exp(log_tau)
