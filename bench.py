@@ -23,10 +23,13 @@ CPU throughput is estimated at REF_MIN_ESS_PER_SEC below (16 threads x
 rounded up to be conservative).  ``vs_baseline`` is measured/estimated.
 
 Output contract: prints one JSON line {"metric", "value", "unit",
-"vs_baseline"} per measurement, best (and final) measurement LAST —
-progressive output, so a run killed by an external timeout still leaves the
-best verified-so-far number on stdout.  All human-readable detail goes to
-stderr.
+"vs_baseline"} per measurement, final measurement LAST — progressive
+output, so a run killed by an external timeout still leaves the best
+verified-so-far number on stdout.  All human-readable detail goes to
+stderr.  Headline protocol (round 5): the emitted value is the MEDIAN of
+up to 3 warm-rep walls (every rep's wall listed in the metric string), not
+the best rep — the tunnel's ~4x run-to-run wall variance made best-of-N a
+luck measurement.
 
 Robustness (the round-1 driver run produced nothing, rc=124):
 - the XLA compilation cache lives INSIDE the repo (committed after being
@@ -299,7 +302,10 @@ def _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, n_collect, note="",
         f"{N_CHAINS} chains ({n_warmup or N_WARMUP} warmup + {n_collect} "
         f"collected), max R-hat {rhat_max:.4f}, "
         f"{grad_evals_per_sec:.3g} grad-evals/s"
-        f", baseline: {ref_kind or REF_BASELINE_KIND}" + note,
+        f", baseline: {ref_kind or REF_BASELINE_KIND}"
+        # headline numbers are seed-sensitive: a non-default seed must be
+        # visible in the artifact itself (ADVICE round 4)
+        + (f", seed {SEED}" if SEED != 0 else "") + note,
         "value": round(min_ess_per_sec, 1),
         "unit": "ESS/s",
         "vs_baseline": round(min_ess_per_sec / ref, 2),
@@ -368,14 +374,42 @@ def _diagnostics_with_retry(sample, tries=3):
         raise last_exc
     print(
         f"diagnostics falling back to host CPU ({nbytes / 2**30:.1f} GiB "
-        "transfer); sampling walls are unaffected",
+        "chunked transfer); sampling walls are unaffected",
         file=sys.stderr,
     )
     t0 = time.perf_counter()
-    out = split_rhat_mean_ess(
-        jax.device_put(sample, cpu), steps_major=True, return_moments=True
-    )
-    jax.block_until_ready(out)
+    # BENCH_r04 post-mortem (VERDICT r4 #1): the old monolithic
+    # `jax.device_put(sample, cpu)` pulled the whole sample D2H in one shot
+    # through the same sick tunnel the retries just failed on — the
+    # fallback shared its failure domain.  Chunked major-axis (steps)
+    # slices with per-chunk retries survive transient faults and never
+    # relayout (steps is the major axis of the pinned (0,2,1) layout).
+    import numpy as np
+
+    n0 = sample.shape[0]
+    per_step = sample.size // n0 * sample.dtype.itemsize
+    chunk = max(1, int((256 << 20) // per_step))
+    parts = []
+    for s in range(0, n0, chunk):
+        blk = sample[s : min(s + chunk, n0)]
+        for attempt in range(3):
+            try:
+                parts.append(np.asarray(blk))
+                break
+            except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e2:
+                if attempt == 2:
+                    raise last_exc from e2
+                print(
+                    f"chunk D2H failed at step {s} (attempt {attempt + 1}), "
+                    f"retrying: {str(e2)[:200]}",
+                    file=sys.stderr,
+                )
+                time.sleep(10 * (attempt + 1))
+    host = np.concatenate(parts, axis=0)
+    del parts
+    with jax.default_device(cpu):
+        out = split_rhat_mean_ess(host, steps_major=True, return_moments=True)
+        jax.block_until_ready(out)
     print(
         f"CPU diagnostics done in {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
@@ -435,6 +469,48 @@ def _measure_and_emit(sampler, sample, wall, n_collect, note=""):
     return min_ess_per_sec
 
 
+def _rank_gate(sample):
+    """Second convergence gate (VERDICT r4 #7): rank-normalized bulk/tail
+    diagnostics (Vehtari et al. 2021; diagnostics/stats.py grid path —
+    memory-bounded, TPU-validated round 4) on the resident headline sample,
+    printed to stderr next to the classic split-R-hat gate.  Non-fatal and
+    budget-gated: the headline JSON line is already out, and the logistic
+    stretch leg (the round-5 priority) still needs ~420 s of budget."""
+    if os.environ.get("GMT_BENCH_SKIP_RANK_GATE") == "1" or _left() < 900:
+        print(
+            f"rank-normalized gate skipped (budget left {_left():.0f}s)",
+            file=sys.stderr,
+        )
+        return
+    try:
+        from general_mcmc_tpu.diagnostics.stats import rank_normalized_summary
+
+        t0 = time.perf_counter()
+        rs = rank_normalized_summary(sample, steps_major=True)
+        jax.block_until_ready(rs)
+        rhat = float(jnp.max(rs.rhat))
+        bulk = float(jnp.min(rs.ess_bulk))
+        tail = float(jnp.min(rs.ess_tail))
+        print(
+            f"rank-normalized gate: max R-hat {rhat:.4f}, min bulk-ESS "
+            f"{bulk:.0f}, min tail-ESS {tail:.0f} "
+            f"({time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+        )
+        if rhat >= 1.01:
+            print(
+                f"WARNING: rank-normalized R-hat {rhat:.3f} >= 1.01 — "
+                "disagrees with the classic split-R-hat gate",
+                file=sys.stderr,
+            )
+    except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
+        print(
+            f"rank-normalized gate failed (non-fatal): {type(e).__name__}: "
+            f"{str(e)[:500]}",
+            file=sys.stderr,
+        )
+
+
 def _attach_with_watchdog():
     """First device contact, guarded: the tunnel can wedge SERVER-side
     (round-4, 2026-08-18: ``jax.devices()`` blocked >20 min inside the
@@ -486,14 +562,17 @@ def main(n_collect):
     # Emit a first (conservative: wall includes any compile) verified line
     # immediately, so even a budget-killed process leaves a real number.
     _measure_and_emit(sampler, sample, t_first, n_collect, note=" [incl. compile]")
-    best_payload = None
 
-    # Timed reruns with a warm jit cache; the shared-TPU tunnel shows large
-    # run-to-run variance, so take the best rep that fits the budget.  Each
-    # improvement is re-emitted — the LAST line is the best measurement.
-    wall = float("inf")
-    for _ in range(2):
-        # A warm rep costs exec only (~10 s at the default config), not the
+    # Timed reruns with a warm jit cache.  Protocol (VERDICT r4 #2): the
+    # tunnel shows ~4x run-to-run wall variance on a ~0.3 s measurement, so
+    # the emitted value is the MEDIAN of up to 3 warm reps (upper median
+    # when only 2 fit the budget — conservative), with every rep's wall
+    # recorded in the metric string; best-of-N luck can no longer set the
+    # headline.  Reps are bit-identical trajectories (position-indexed RNG,
+    # fixed seed), so only the wall varies.
+    walls = []
+    for _ in range(3):
+        # A warm rep costs exec only (~1 s at the default config), not the
         # compile-dominated t_first; a fixed allowance keeps reps running
         # after a long cold compile (the round-2 collect-sweep run burned
         # 717 s compiling and then skipped its reps under the old
@@ -506,12 +585,18 @@ def main(n_collect):
         t0 = time.perf_counter()
         sample = _run_steps_major(sampler, n_collect)
         jax.block_until_ready(sample)
-        wall = min(wall, time.perf_counter() - t0)
-        best_payload = (sampler, sample, wall)
+        walls.append(time.perf_counter() - t0)
+        print(f"warm rep {len(walls)}: {walls[-1]:.3f}s", file=sys.stderr)
 
-    if best_payload is not None:
-        sampler, sample, wall = best_payload
-        _measure_and_emit(sampler, sample, wall, n_collect)
+    if walls:
+        wall = sorted(walls)[len(walls) // 2]
+        note = (
+            f" [median of {len(walls)} warm reps: "
+            + ", ".join(f"{w:.3f}s" for w in sorted(walls))
+            + "]"
+        )
+        _measure_and_emit(sampler, sample, wall, n_collect, note=note)
+    _rank_gate(sample)
 
 
 def logistic_extra():
@@ -525,14 +610,25 @@ def logistic_extra():
     GMT_BENCH_LOGISTIC_SAMPLER=nuts reproduces the NUTS line (depth cap
     5, δ=0.90, the round-2 champion config).  Runs after the headline
     only when budget remains; the caller re-prints the Gaussian headline
-    afterwards so the driver-parsed LAST line never changes meaning."""
+    afterwards so the driver-parsed LAST line never changes meaning.
+
+    Flake-proof diagnostics (VERDICT r4 #1): this leg's metric line was
+    eaten twice (one rehearsal + BENCH_r04) by the sticky tunnel-helper
+    flake on the STANDALONE diagnostics compile — and the monolithic-D2H
+    CPU fallback died with it.  The per-chain sufficient statistics now
+    ride INSIDE the collection program (core.run_kernel_stats /
+    ChEESHMC._run_static(with_stats=True)): one compile, one execution,
+    then a KB-scale host transfer + pure-numpy combine.  The measured wall
+    therefore includes the in-program statistics pass (labeled in the
+    metric string) — conservative, and worth the line always existing."""
     from general_mcmc_tpu import (
         ChEESHMC,
         NUTS,
         NUTSMassMatrixConfig,
         init_with_seed,
     )
-    from general_mcmc_tpu.core import run_kernel
+    from general_mcmc_tpu.core import run_kernel, run_kernel_stats
+    from general_mcmc_tpu.diagnostics.stats import combine_suffstats_host
     from general_mcmc_tpu.models.regression import (
         HierarchicalLogisticNC,
         make_logistic_data,
@@ -590,20 +686,23 @@ def logistic_extra():
         )
         sampler_desc = "NUTS"
     sampler._prepare_run(collect, warmup)
-    walls, sample = [], None
+    walls, sample, suffstats = [], None, None
     for rep in range(2):
         t0 = time.perf_counter()
         if family == "chees":
             out = run_kernel(sampler._step_fn, sampler._init_carry(), 0, warmup)
-            sample_arr = sampler._run_static(out.carry, collect, warmup)
-            out = sampler  # _run_static set _final_carry
+            sample_arr = sampler._run_static(
+                out.carry, collect, warmup, with_stats=True
+            )
+            suffstats = sampler._suffstats
         else:
-            out = run_kernel(
+            out = run_kernel_stats(
                 sampler._step_fn, sampler._init_carry(), collect, warmup
             )
             sampler._final_carry = out.carry
             sample_arr = out.samples
-        jax.block_until_ready(sample_arr)
+            suffstats = out.suffstats
+        jax.block_until_ready((sample_arr, suffstats))
         walls.append(time.perf_counter() - t0)
         if sample is not None:
             sample.delete()
@@ -617,9 +716,11 @@ def logistic_extra():
             sample = None
     wall = min(walls)
     leapfrogs = int(jnp.sum(sampler.leapfrog_count))
-    rhat, ess, _m, _s = _diagnostics_with_retry(sample)
-    rhat_max = float(jnp.max(rhat))
-    min_ess = float(jnp.min(ess))
+    # KB-scale D2H + pure-numpy combine: zero further device compiles (the
+    # round-4 flake's entire attack surface is gone from this leg).
+    rhat_a, ess_a, _m, _s = combine_suffstats_host(*suffstats)
+    rhat_max = float(rhat_a.max())
+    min_ess = float(ess_a.min())
     flops = leapfrogs * 4 * n_obs * (dim - 2)
     print(
         f"logistic: wall={wall:.2f}s min_ess={min_ess:.0f} "
@@ -632,7 +733,8 @@ def logistic_extra():
         print(f"WARNING: logistic R-hat {rhat_max:.3f} >= 1.01", file=sys.stderr)
     _emit(
         min_ess / wall, rhat_max, leapfrogs / wall, collect,
-        note=" [incl. compile]" if len(walls) == 1 else "",
+        note=(" [incl. compile]" if len(walls) == 1 else "")
+        + " [wall incl. in-program diagnostics]",
         wl_desc=desc, ref=ref, ref_kind=ref_kind, n_warmup=warmup,
         headline=False,
         # never inherit the global sampler label — this leg builds its own

@@ -31,9 +31,11 @@ __all__ = [
     "init_with_seed",
     "advance_kernel",
     "run_kernel",
+    "run_kernel_stats",
     "run_kernel_progress",
     "run_kernel_progress_stream",
     "KernelRun",
+    "KernelRunStats",
 ]
 
 DEFAULT_SEED = 42  # init_det's fixed seed, matching core.rs:449-452.
@@ -62,6 +64,19 @@ class KernelRun(NamedTuple):
     carry: Any
     # [n_collect, n_chains, dim] states, in collection order.
     samples: jax.Array
+
+
+class KernelRunStats(NamedTuple):
+    """Result of :func:`run_kernel_stats`: final carry, collected states,
+    and the per-split-chain diagnostic sufficient statistics computed
+    INSIDE the collection program."""
+
+    carry: Any
+    samples: jax.Array  # [n_collect, n_chains, dim], steps-major
+    # (chain_means [2c, p], sq [2c, p], acov_sum [n_collect//2, p]) —
+    # feed to diagnostics.stats.combine_suffstats_host for (rhat, ess,
+    # pooled mean, pooled std) with zero further device compiles.
+    suffstats: tuple
 
 
 def _scan_steps(step_fn, carry, start: int, n_steps: int, collect: bool,
@@ -99,8 +114,28 @@ _run_compiled = functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))(
     _run_impl
 )
 
+
+def _run_stats_impl(step_fn, carry, n_collect: int, n_discard: int,
+                    offset: int, thin: int = 1):
+    """:func:`_run_impl` + per-split-chain diagnostic sufficient statistics
+    of the collected samples, all in ONE traced program (the samples stay
+    in their scan-native steps-major layout; ``chain_suffstats`` consumes
+    that orientation directly)."""
+    from .diagnostics.stats import chain_suffstats
+
+    carry, samples = _run_impl(step_fn, carry, n_collect, n_discard, offset,
+                               thin)
+    ms, sqs, acs = chain_suffstats(samples, split=True, steps_major=True)
+    return carry, samples, (ms, sqs, acs)
+
+
+_run_stats_compiled = functools.partial(
+    jax.jit, static_argnums=(0, 2, 3, 4, 5)
+)(_run_stats_impl)
+
 # Per-device cache of layout-pinned runners (see _pinned_runner).
 _PINNED_RUNNERS: dict = {}
+_PINNED_STATS_RUNNERS: dict = {}
 
 
 def _pinned_runner(dev):
@@ -146,6 +181,28 @@ def _pinned_runner(dev):
             out_shardings=(None, fmt),
         )
         _PINNED_RUNNERS[dev] = runner
+        return runner
+
+
+def _pinned_stats_runner(dev):
+    """Layout-pinned variant of :func:`_run_stats_impl` (same rationale and
+    (0, 2, 1) samples pin as :func:`_pinned_runner`; the KB-scale suffstats
+    outputs keep default layouts)."""
+    try:
+        return _PINNED_STATS_RUNNERS[dev]
+    except KeyError:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        fmt = Format(
+            Layout(major_to_minor=(0, 2, 1)), SingleDeviceSharding(dev)
+        )
+        runner = jax.jit(
+            _run_stats_impl,
+            static_argnums=(0, 2, 3, 4, 5),
+            out_shardings=(None, fmt, None),
+        )
+        _PINNED_STATS_RUNNERS[dev] = runner
         return runner
 
 
@@ -220,6 +277,44 @@ def run_kernel(step_fn, carry, n_collect: int, n_discard: int,
         step_fn, carry, n_collect, n_discard, step_offset, thin
     )
     return KernelRun(carry, samples)
+
+
+def run_kernel_stats(step_fn, carry, n_collect: int, n_discard: int,
+                     step_offset: int = 0, thin: int = 1) -> KernelRunStats:
+    """Like :func:`run_kernel`, but the collection program ALSO computes the
+    per-split-chain diagnostic sufficient statistics (chain means, biased
+    within-chain squared deviations, summed per-chain autocovariances) of
+    the collected samples before returning.
+
+    Why fuse (VERDICT round 4 #1): on the remote-TPU tunnel, a standalone
+    diagnostics program compiled right after a big sampling program can hit
+    a sticky compile-helper flake (`INVALID_ARGUMENT: TPU backend error`)
+    that two driver runs could not escape even via a host-CPU fallback —
+    the sample D2H shares the sick tunnel.  With the statistics chained
+    into the sampling program there is exactly ONE compile and ONE
+    execution; if sampling succeeds the diagnostics exist, and the only
+    remaining host work is a KB-scale transfer plus
+    :func:`~.diagnostics.stats.combine_suffstats_host` (pure numpy).
+
+    Trajectories are identical to :func:`run_kernel` (same scan, same RNG);
+    the fused program's wall includes the statistics pass, so timed
+    benchmark reps that use this runner must label the inclusion.
+    """
+    if thin < 1:
+        raise ValueError(f"thin must be >= 1, got {thin}")
+    if n_discard > 0 and n_collect > 0 and jax.default_backend() != "cpu":
+        carry, _ = _run_compiled(step_fn, carry, 0, n_discard, step_offset, 1)
+        step_offset += n_discard
+        n_discard = 0
+    pin_dev = _pin_device(step_fn, carry, n_collect)
+    runner = (
+        _pinned_stats_runner(pin_dev) if pin_dev is not None
+        else _run_stats_compiled
+    )
+    carry, samples, suffstats = runner(
+        step_fn, carry, n_collect, n_discard, step_offset, thin
+    )
+    return KernelRunStats(carry, samples, suffstats)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -621,12 +621,21 @@ class ChEESHMC(BatchSampler):
 
         return step
 
-    def _run_static(self, carry, n_collect: int, offset: int, thin: int = 1):
+    def _run_static(self, carry, n_collect: int, offset: int, thin: int = 1,
+                    with_stats: bool = False):
         """Collection via the static-L law: derive L from the (frozen)
         adapted state on host — ``run_kernel`` already splits burn-in and
         collection into two dispatches, so the read-back costs one sync —
-        then scan the unrolled step.  Compiled programs are cached per L."""
-        from ..core import run_kernel
+        then scan the unrolled step.  Compiled programs are cached per L.
+
+        ``with_stats=True`` routes through :func:`~..core.run_kernel_stats`:
+        the collection program additionally emits the per-split-chain
+        diagnostic sufficient statistics (stashed on ``self._suffstats``
+        for :func:`~..diagnostics.stats.combine_suffstats_host`), so
+        benchmark harnesses need no standalone diagnostics compile (the
+        round-4 tunnel-flake attack surface).  Samples and trajectories
+        are identical either way."""
+        from ..core import run_kernel, run_kernel_stats
 
         if self.static_leapfrog is not None:
             L = min(self.max_leapfrog, self.static_leapfrog)
@@ -653,8 +662,10 @@ class ChEESHMC(BatchSampler):
         key = (L, id(self._extract_fn))
         if key not in cache:
             cache[key] = self._make_step_fn(step=self._static_collect_step(L))
-        out = run_kernel(cache[key], carry, n_collect, 0, step_offset=offset,
-                         thin=thin)
+        runner = run_kernel_stats if with_stats else run_kernel
+        out = runner(cache[key], carry, n_collect, 0, step_offset=offset,
+                     thin=thin)
+        self._suffstats = out.suffstats if with_stats else None
         self._final_carry = out.carry
         self._steps_done = offset + n_collect * thin
         return out.samples

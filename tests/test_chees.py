@@ -307,3 +307,43 @@ def test_chees_tracked_quantities():
     sample = sampler.run(30, 10)
     assert sample.shape == (4, 30, 1)
     assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_chees_static_collection_with_stats_fused():
+    """_run_static(with_stats=True) routes through core.run_kernel_stats:
+    samples must be bit-identical to the plain path, and the in-program
+    sufficient statistics must reproduce split_rhat_mean_ess through the
+    pure-numpy host combine (the bench stretch line's no-second-compile
+    diagnostics, VERDICT round 4 #1)."""
+    from general_mcmc_tpu.core import run_kernel
+    from general_mcmc_tpu.diagnostics.stats import combine_suffstats_host
+
+    def make():
+        return ChEESHMC(
+            _gauss_target(), init_det(16, 2), seed=3, static_collection=True
+        )
+
+    ref = np.asarray(make().run(64, 32))  # [chains, steps, dim]
+
+    s2 = make()
+    s2._prepare_run(64, 32)
+    out = run_kernel(s2._step_fn, s2._init_carry(), 0, 32)
+    samples = s2._run_static(out.carry, 64, 32, with_stats=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.swapaxes(samples, 0, 1)), ref
+    )
+    ms, sqs, acs = s2._suffstats
+    r_h, e_h, m_h, sd_h = combine_suffstats_host(ms, sqs, acs)
+    r_ref, e_ref, m_ref, sd_ref = split_rhat_mean_ess(
+        samples, steps_major=True, return_moments=True
+    )
+    np.testing.assert_allclose(r_h, np.asarray(r_ref), rtol=1e-5)
+    np.testing.assert_allclose(e_h, np.asarray(e_ref), rtol=1e-4)
+    np.testing.assert_allclose(m_h, np.asarray(m_ref), atol=1e-6)
+    np.testing.assert_allclose(sd_h, np.asarray(sd_ref), rtol=1e-5)
+    # plain path leaves no stale stats behind
+    s3 = make()
+    s3._prepare_run(8, 8)
+    out3 = run_kernel(s3._step_fn, s3._init_carry(), 0, 8)
+    s3._run_static(out3.carry, 8, 8)
+    assert s3._suffstats is None

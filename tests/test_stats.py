@@ -494,3 +494,54 @@ def test_chunked_prime_chain_count_tail_path(monkeypatch):
     r_c, e_c = split_rhat_mean_ess(x)
     np.testing.assert_allclose(np.asarray(r_c), np.asarray(r_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(e_c), np.asarray(e_ref), rtol=1e-4)
+
+
+def test_chain_suffstats_host_combine_matches(monkeypatch):
+    """The fused in-program diagnostics path (chain_suffstats embedded in an
+    outer jit + pure-numpy combine_suffstats_host) must reproduce
+    split_rhat_mean_ess(return_moments=True) exactly — single-shot AND
+    chunked plans.  This is the no-second-compile path the bench's stretch
+    line rides (VERDICT round 4 #1)."""
+    from general_mcmc_tpu.diagnostics import stats as S
+
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (10, 256, 3), jnp.float32) * jnp.array(
+        [1.0, 2.5, 0.5]
+    )
+    r_ref, e_ref, m_ref, s_ref = split_rhat_mean_ess(x, return_moments=True)
+
+    def run_fused(arr):
+        # embed in an OUTER jit, steps-major — exactly how
+        # core.run_kernel_stats consumes it
+        fused = jax.jit(
+            lambda s: S.chain_suffstats(s, split=True, steps_major=True)
+        )
+        return fused(jnp.swapaxes(arr, 0, 1))
+
+    for engage_chunking in (False, True):
+        if engage_chunking:
+            monkeypatch.setattr(S, "_ESS_CHUNK_BYTES", 2 * 512 * 3 * 8 * 4)
+            assert S._plan_chunks(256, 10, 3, split=True) is not None
+        ms, sqs, acs = run_fused(x)
+        r, e, m, sd = S.combine_suffstats_host(ms, sqs, acs)
+        np.testing.assert_allclose(r, np.asarray(r_ref), rtol=1e-5)
+        np.testing.assert_allclose(e, np.asarray(e_ref), rtol=1e-4)
+        np.testing.assert_allclose(m, np.asarray(m_ref), atol=1e-5)
+        np.testing.assert_allclose(sd, np.asarray(s_ref), rtol=1e-5)
+
+
+def test_combine_suffstats_host_matches_jitted():
+    """Host combine ≡ the jitted _combine_suffstats on arbitrary sufficient
+    statistics (not just ones produced by a real sample)."""
+    from general_mcmc_tpu.diagnostics import stats as S
+
+    rng = np.random.default_rng(5)
+    c, n, p = 14, 64, 4
+    ms = rng.normal(size=(c, p)).astype(np.float32)
+    sq = rng.uniform(0.5, 2.0, size=(c, p)).astype(np.float32)
+    ac = rng.normal(scale=0.1, size=(n, p)).astype(np.float32)
+    ac[0] = sq.mean(axis=0) * c  # lag-0 ≈ within-variance sum, keeps rho sane
+    got = S.combine_suffstats_host(ms, sq, ac)
+    want = S._combine_suffstats(jnp.asarray(ms), jnp.asarray(sq), jnp.asarray(ac))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(w), rtol=2e-5)
