@@ -49,7 +49,7 @@ Deviations from the paper (documented per the repo convention):
 - trajectories are capped at ``max_leapfrog`` steps per iteration (the
   paper's unbounded ``⌈t/ε⌉`` can explode while ε is still adapting).
 
-Geometry guidance (measured, docs/BENCH_HISTORY.md round 4): on
+Geometry guidance (measured, docs/BENCH_HISTORY.md rounds 4-5): on
 HMC-amenable targets ChEES dominates the tree backends (12× NUTS on the
 headline Gaussian, 10.8× on the non-centered hierarchical logistic); on
 centered funnel geometry NEITHER law passes the convergence gate (the
@@ -57,6 +57,20 @@ neck defeats any fixed-metric HMC-family sampler — ChEES still measured
 2.3× NUTS's min-ESS/s with smaller v-bias at equal non-gating quality).
 Reparameterize funnels (models/regression.py non-centered variants) and
 watch ``divergences``.
+
+Strong CORRELATION is NOT a blind spot of the diagonal metric, despite
+the conjecture that NUTS-dense should win there (scripts/
+exp_correlated.py, v5e, round 5): on a 50-d Gaussian with uniform
+off-diagonal 0.9 (condition 451 — invisible to any diagonal rescaling),
+ChEES at 4096 chains × 512+512 reached 1.58M min-ESS/s (R-hat 1.0006,
+moment audit 8e-4) while NUTS-dense managed 4.8k and FAILED the gate
+(R-hat 1.02 at 512 warmup, 1.09 at 1536): Stan-window dense adaptation
+estimates each chain's 50×50 covariance from its OWN ≤400 window draws
+— far too few — whereas ChEES needs no covariance at all: the adapted
+trajectory length grows to traverse the slow eigendirection and the
+Halton jitter decorrelates the fast ones.  At many-chain TPU scale,
+cross-chain adaptation beats per-chain dense adaptation on exactly the
+geometry dense adaptation was designed for.
 """
 
 from __future__ import annotations
