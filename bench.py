@@ -482,33 +482,43 @@ def _rank_gate(sample):
             file=sys.stderr,
         )
         return
-    try:
-        from general_mcmc_tpu.diagnostics.stats import rank_normalized_summary
+    # Up to 3 attempts with a 20 s backoff: the gate is a second big
+    # compile right after the headline program — exactly the sticky
+    # compile-helper flake's attack surface (HTTP 500 / `TPU backend
+    # error`; round-5 rehearsal hit it once, non-fatally).  The flake
+    # often clears after a pause; each retry is budget-gated.
+    for attempt in range(3):
+        try:
+            from general_mcmc_tpu.diagnostics.stats import rank_normalized_summary
 
-        t0 = time.perf_counter()
-        rs = rank_normalized_summary(sample, steps_major=True)
-        jax.block_until_ready(rs)
-        rhat = float(jnp.max(rs.rhat))
-        bulk = float(jnp.min(rs.ess_bulk))
-        tail = float(jnp.min(rs.ess_tail))
-        print(
-            f"rank-normalized gate: max R-hat {rhat:.4f}, min bulk-ESS "
-            f"{bulk:.0f}, min tail-ESS {tail:.0f} "
-            f"({time.perf_counter() - t0:.1f}s)",
-            file=sys.stderr,
-        )
-        if rhat >= 1.01:
+            t0 = time.perf_counter()
+            rs = rank_normalized_summary(sample, steps_major=True)
+            jax.block_until_ready(rs)
+            rhat = float(jnp.max(rs.rhat))
+            bulk = float(jnp.min(rs.ess_bulk))
+            tail = float(jnp.min(rs.ess_tail))
             print(
-                f"WARNING: rank-normalized R-hat {rhat:.3f} >= 1.01 — "
-                "disagrees with the classic split-R-hat gate",
+                f"rank-normalized gate: max R-hat {rhat:.4f}, min bulk-ESS "
+                f"{bulk:.0f}, min tail-ESS {tail:.0f} "
+                f"({time.perf_counter() - t0:.1f}s)",
                 file=sys.stderr,
             )
-    except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
-        print(
-            f"rank-normalized gate failed (non-fatal): {type(e).__name__}: "
-            f"{str(e)[:500]}",
-            file=sys.stderr,
-        )
+            if rhat >= 1.01:
+                print(
+                    f"WARNING: rank-normalized R-hat {rhat:.3f} >= 1.01 — "
+                    "disagrees with the classic split-R-hat gate",
+                    file=sys.stderr,
+                )
+            return
+        except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
+            print(
+                f"rank-normalized gate attempt {attempt + 1} failed "
+                f"(non-fatal): {type(e).__name__}: {str(e)[:500]}",
+                file=sys.stderr,
+            )
+            if attempt == 2 or _left() < 900:
+                return
+            time.sleep(20.0)
 
 
 def _attach_with_watchdog():
