@@ -73,11 +73,18 @@ class _Sched(NamedTuple):
     from mutable sampler attributes: a BatchChain's step fn may be traced
     lazily AFTER a later run()/_prepare_run() overwrote them (round-3
     review finding — the chain would silently adopt the other run's warmup
-    schedule)."""
+    schedule).
+
+    ``track_depth`` turns on the realized-tree-depth accumulators used by
+    ``backend="auto"``; ``backend`` overrides the sampler-level backend for
+    this step fn (auto builds an xla warmup fn and a chosen-backend
+    collection fn from the same sampler)."""
 
     n_discard: int
     collect: jax.Array
     window: jax.Array
+    track_depth: bool = False
+    backend: str | None = None
 
 __all__ = ["NUTS", "NUTSMassMatrixConfig"]
 
@@ -161,13 +168,23 @@ class NUTS(BatchSampler):
     mass_config : :class:`NUTSMassMatrixConfig`; default disabled, matching
         the reference façade (generic_nuts.rs:370-377) — pass
         ``NUTSMassMatrixConfig()`` for Stan-style diagonal adaptation.
-    backend : ``"xla"`` (vmapped while_loop tree) or ``"static"``
-        (static-window schedule, :mod:`..ops.static_tree`: all
-        2^max_depth − 1 leapfrogs run in a slim fixed-length loop, tree
-        logic evaluated retrospectively from a Gram matrix).  The static
-        backend supports dense mass too; its RNG stream differs from the
-        xla tree's (identical transition law; see the ops/static_tree.py
-        contract).
+    backend : ``"auto"`` (the default: warmup runs the xla tree while
+        tracking realized depths; the collection backend is then chosen
+        by the measured crossover rule — :meth:`_choose_backend`; the
+        choice is exposed as ``backend_selected``), ``"xla"`` (vmapped
+        while_loop tree), or ``"static"`` (static-window schedule,
+        :mod:`..ops.static_tree`: all 2^max_depth − 1 leapfrogs run in a
+        slim fixed-length loop, tree logic evaluated retrospectively from
+        a Gram matrix).  The static backend supports dense mass too; its
+        RNG stream differs from the xla tree's (identical transition law;
+        see the ops/static_tree.py contract), so an auto run that
+        resolves to static is law-equal but not bit-equal to a pure-xla
+        run.  Caps > 6 (including the default, 10 — every measured static
+        win is at caps 4–6, and cap-7/8 unrolled windows have measured
+        compile pathologies), warmup-free runs,
+        and multi-process runs resolve auto to xla without measuring —
+        on the exact one-program path ``backend="xla"`` takes, so the
+        default configuration is unchanged by auto.
 
         Measured guidance (v5e crossover sweep, 10240 chains × 100-d,
         docs/BENCH_HISTORY.md round 4): pick **static when the depth cap
@@ -206,7 +223,7 @@ class NUTS(BatchSampler):
         max_tree_depth: int = 10,
         step_size: float | None = None,
         mass_config: NUTSMassMatrixConfig | None = None,
-        backend: str = "xla",
+        backend: str = "auto",
         warmup_tree_depth: int | None = None,
         ckpt_dtype=None,
         proposal: str = "slice",
@@ -240,7 +257,7 @@ class NUTS(BatchSampler):
                 "docs/MOSAIC_RULES.md has the full record) — use 'static' "
                 "for caps <= 8, 'xla' for deeper trees"
             )
-        if backend not in ("xla", "static"):
+        if backend not in ("xla", "static", "auto"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "static" and max(
             self.max_tree_depth, self.warmup_tree_depth
@@ -290,13 +307,38 @@ class NUTS(BatchSampler):
         cache = getattr(self, "_stepfn_cache", None)
         if cache is None:
             cache = self._stepfn_cache = {}
-        key = (n_collect, n_discard, id(self._extract_fn))
+        # auto mode with a warmup builds a depth-TRACKING xla step fn here;
+        # run() resolves the collection backend from the tracked statistics
+        # at the warmup→collection boundary (_collection_step_fn).  Caps > 8
+        # resolve to xla unconditionally (_choose_backend's first rule), so
+        # they skip tracking entirely — the default cap (10) pays neither
+        # the accumulators nor the extra boundary program.
+        track = (self.backend == "auto" and n_discard > 0
+                 and self.max_tree_depth <= 6)
+        key = (n_collect, n_discard, id(self._extract_fn), track)
         if key not in cache:
-            sched = _Sched(n_discard, self._collect_sched, self._window_sched)
+            sched = _Sched(n_discard, self._collect_sched, self._window_sched,
+                           track_depth=track)
             cache[key] = self._make_step_fn(
                 step=lambda c, m, _s=sched: self._step(c, m, _s)
             )
         self._step_fn = cache[key]
+
+    def _collection_step_fn(self, n_collect: int, n_discard: int,
+                            backend: str) -> _StepFn:
+        """Step fn for the post-warmup collection phase of an auto run:
+        same schedule as :meth:`_prepare_run`'s (dual averaging still keys
+        off the real ``n_discard``), resolved ``backend``, no depth
+        tracking (run() strips the accumulators at the boundary)."""
+        cache = self._stepfn_cache
+        key = (n_collect, n_discard, id(self._extract_fn), backend)
+        if key not in cache:
+            sched = _Sched(n_discard, self._collect_sched, self._window_sched,
+                           backend=backend)
+            cache[key] = self._make_step_fn(
+                step=lambda c, m, _s=sched: self._step(c, m, _s)
+            )
+        return cache[key]
 
     # -- carry --------------------------------------------------------------
     def _init_carry(self):
@@ -333,7 +375,7 @@ class NUTS(BatchSampler):
             m2_diag=jnp.zeros((n, d), dtype),
             m2_dense=jnp.zeros((n, d, d) if self._dense else (n, 0, 0), dtype),
         )
-        return dict(
+        carry = dict(
             pos=x0,
             lp=lp0,
             grad=grad0,
@@ -349,6 +391,13 @@ class NUTS(BatchSampler):
             if jax.config.jax_enable_x64
             else jnp.zeros((n,), jnp.int32),
         )
+        if (self.backend == "auto" and self._n_discard > 0
+                and self.max_tree_depth <= 6):
+            # realized-depth accumulators for the collection-backend choice
+            # (skipped for caps > 6, where auto is unconditionally xla)
+            carry["depth_sum"] = jnp.zeros((n,), jnp.int32)
+            carry["depth_sqsum"] = jnp.zeros((n,), jnp.int32)
+        return carry
 
     # -- transition ---------------------------------------------------------
     def _step(self, carry, m, sched: _Sched | None = None):
@@ -357,7 +406,14 @@ class NUTS(BatchSampler):
         dtype = carry["pos"].dtype
         m1 = (m + 1).astype(dtype)  # 1-based step number
 
-        if self.backend == "static":
+        backend = sched.backend
+        if backend is None:
+            # auto warmups always run the dynamic tree (it pays only for
+            # the depth actually realized, and its realized depths are the
+            # selection signal); run() swaps in a resolved-backend step fn
+            # for collection.
+            backend = "xla" if self.backend == "auto" else self.backend
+        if backend == "static":
             from ..ops.tree import TreeStepResult
             from ..ops.static_tree import static_nuts_step
 
@@ -383,7 +439,11 @@ class NUTS(BatchSampler):
                     leapfrogs=r.leapfrogs,
                 )
 
-            if self.warmup_tree_depth != self.max_tree_depth:
+            # A resolved collection fn (sched.backend set) only ever runs
+            # post-warmup steps — don't trace the warmup-depth branch (it
+            # is dead, and warmup_tree_depth may exceed the static cap).
+            if (self.warmup_tree_depth != self.max_tree_depth
+                    and sched.backend is None):
                 tree = jax.lax.cond(
                     m < sched.n_discard,
                     lambda: run_static(self.warmup_tree_depth),
@@ -407,7 +467,8 @@ class NUTS(BatchSampler):
                     carry["eps"], carry["mass"],
                 )
 
-            if self.warmup_tree_depth != self.max_tree_depth:
+            if (self.warmup_tree_depth != self.max_tree_depth
+                    and sched.backend is None):
                 # scalar phase switch: only one branch executes per step
                 tree = jax.lax.cond(
                     m < sched.n_discard,
@@ -445,6 +506,35 @@ class NUTS(BatchSampler):
             + (tree.diverged & ~warmup).astype(jnp.int32),
             n_leapfrog=carry["n_leapfrog"] + tree.leapfrogs,
         )
+
+        # backend="auto" depth statistics: accumulate realized tree depth
+        # (sum + sum of squares, per chain) over the LAST QUARTER of warmup
+        # — earlier depths reflect the unadapted metric and, decisively,
+        # the per-chain dual-averaging ε wander: tracked over the second
+        # half, a uniform-depth 100-d Gaussian measured depth std 0.87
+        # (round-5 calibration probes) purely from ε exploration, which
+        # would misread the xla-winning regime as funnel-like.  By the
+        # last quarter ε_m has largely settled toward ε̄ (κ=0.75 decay),
+        # so the window approximates the collection regime the choice is
+        # about.  The fields must pass through unchanged when present but
+        # not tracked (scan carries are structure-invariant; a resolved
+        # collection fn may still see a tracking carry in
+        # chain()/run_progress flows).
+        if "depth_sum" in carry:
+            if sched.track_depth:
+                win = max(sched.n_discard // 4, 1)
+                in_win = (m >= sched.n_discard - win) & (m < sched.n_discard)
+                d = tree.depth.astype(jnp.int32)
+                zero = jnp.zeros_like(d)
+                new["depth_sum"] = carry["depth_sum"] + jnp.where(
+                    in_win, d, zero
+                )
+                new["depth_sqsum"] = carry["depth_sqsum"] + jnp.where(
+                    in_win, d * d, zero
+                )
+            else:
+                new["depth_sum"] = carry["depth_sum"]
+                new["depth_sqsum"] = carry["depth_sqsum"]
 
         if self.mass_config.adaptation != "none":
             new = self._mass_adaptation(new, m, sched)
@@ -579,6 +669,126 @@ class NUTS(BatchSampler):
 
     def _positions(self, carry):
         return carry["pos"]
+
+    # -- backend="auto" -----------------------------------------------------
+    @staticmethod
+    def _choose_backend(measured_cap: int, mean_depth: float,
+                        std_depth: float, max_cap: int,
+                        static_cap: int = 6) -> str:
+        """Collection-backend choice from warmup depth statistics — the
+        measured round-4 crossover rule (docs/BENCH_HISTORY.md, v5e sweep at
+        10240 chains × 100-d) as code:
+
+        - caps > ``static_cap``: xla.  Every measured static win is at
+          caps 4–6 (1.5–2.0×); above that the unrolled window's COMPILE
+          becomes the hazard an automatic mode must not pick — a cap-7
+          static program (127 unrolled leapfrogs + a T=128 Gram) burned
+          >30 min of CPU compile without finishing (round-5 bisect), and
+          cap-8 windows at the bench shape crash the remote TPU
+          compile-helper (docs/ROADMAP.md #6).  The CPU (LLVM) backend
+          already chokes at cap 6 (>10 min vs 58 s at cap 5, round-5
+          probes), so :meth:`run` passes ``static_cap=5`` there and 6 on
+          TPU.  ``backend="static"`` still allows caps ≤ 8 explicitly —
+          there the user owns the compile budget;
+        - saturated regime (typical depth within ~1.25 of the cap the
+          depths were measured under): static measured 1.66× the xla tree
+          at cap 4 / depth 3.98, 1.5× end-to-end on the round-3 bench
+          → static;
+        - varied depths, std ≥ 1.0 (funnel-like: static 1.85–2.0× at caps
+          4–6, because under vmap every chain pays the batch-max tree
+          anyway while static's per-leaf machinery is leaner) → static.
+          The threshold is calibrated against last-quarter-of-warmup
+          tracking (round-5 probes): the 100-d funnel measures std 1.13+
+          while uniform-depth Gaussians measure ≤ 0.74 (pure per-chain
+          dual-averaging ε wander + depth jitter — the regime whose
+          trees self-terminate early, where xla wins 1.4–3.4×) and
+          low-dim Gaussians ≈ 0.88 (binomial depth jitter around a mean
+          far below the cap — also an xla regime: the dynamic tree stops
+          at ~2^2.4 leapfrogs vs the window's fixed 2^cap − 1);
+        - else (uniformly shallow self-terminating trees) → xla.
+
+        ``measured_cap`` is the cap the warmup depths were realized under
+        (``warmup_tree_depth``); ``max_cap`` is the collection cap.
+        """
+        if max_cap > static_cap:
+            return "xla"
+        if measured_cap - mean_depth <= 1.25:
+            return "static"
+        if std_depth >= 1.0:
+            return "static"
+        return "xla"
+
+    def run(self, n_collect: int, n_discard: int = 0, thin: int = 1):
+        """:meth:`BatchSampler.run`, plus backend resolution when
+        ``backend="auto"``: warmup runs the dynamic xla tree while
+        accumulating realized-depth statistics in the carry; at the
+        warmup→collection boundary (already a separate dispatch in
+        :func:`~..core.run_kernel`) the statistics are read back (one host
+        sync, same cost ChEES pays for its static-L read) and
+        :meth:`_choose_backend` picks the collection backend.  The choice
+        and the statistics are exposed as ``backend_selected`` and
+        ``depth_stats``.  Incremental (:meth:`~.base.BatchSampler.chain`)
+        and progress drivers run the whole program one-backend (xla) —
+        they have no boundary dispatch to resolve at; :meth:`resume`
+        reuses the previous selection."""
+        if (self.backend != "auto" or n_discard == 0
+                or self.max_tree_depth > 6
+                or jax.process_count() > 1):
+            if self.backend == "auto":
+                # Resolved without measuring: caps > 6 are always xla
+                # (_choose_backend's first rule — skipping the boundary
+                # program keeps the default cap on the exact pre-auto
+                # path); no warmup means nothing to measure; multi-process
+                # boundary depth read-back would be a cross-host sync on a
+                # non-fully-addressable carry.  The dynamic tree is the
+                # safe default in all three cases.
+                self.backend_selected = "xla"
+            return super().run(n_collect, n_discard, thin)
+        from ..core import run_kernel
+
+        self._prepare_run(n_collect, n_discard)
+        out = run_kernel(self._step_fn, self._init_carry(), 0, n_discard)
+        carry = dict(out.carry)
+        d_sum = carry.pop("depth_sum")
+        d_sq = carry.pop("depth_sqsum")
+        win = max(n_discard // 4, 1)  # tracked steps per chain (last quarter)
+        total = max(win * self.n_chains, 1)
+        mean = float(jnp.sum(d_sum)) / total
+        var = max(float(jnp.sum(d_sq)) / total - mean * mean, 0.0)
+        std = var ** 0.5
+        choice = self._choose_backend(
+            self.warmup_tree_depth, mean, std, self.max_tree_depth,
+            # the CPU (LLVM) backend's static-window compile wall explodes
+            # one cap earlier than the TPU toolchain's (see _choose_backend)
+            static_cap=6 if jax.default_backend() != "cpu" else 5,
+        )
+        self.backend_selected = choice
+        self.depth_stats = (mean, std)
+        fn = self._collection_step_fn(n_collect, n_discard, choice)
+        out = run_kernel(fn, carry, n_collect, 0, step_offset=n_discard,
+                         thin=thin)
+        self._final_carry = out.carry
+        self._steps_done = n_collect * thin + n_discard
+        return jnp.swapaxes(out.samples, 0, 1)
+
+    def resume(self, path: str, n_collect: int):
+        if self.backend == "auto":
+            # post-warmup continuation: keep the run()'s resolved backend
+            # (collection-phase trajectories continue under the same law);
+            # fall back to xla when no selection has happened yet.
+            choice = getattr(self, "backend_selected", "xla")
+            from ..core import run_kernel
+            from ..utils.checkpoint import load_carry
+
+            state = load_carry(path)
+            carry, offset = state["carry"], int(state["steps"])
+            self._prepare_run(n_collect, 0)
+            fn = self._collection_step_fn(n_collect, 0, choice)
+            out = run_kernel(fn, carry, n_collect, 0, step_offset=offset)
+            self._final_carry = out.carry
+            self._steps_done = offset + n_collect
+            return jnp.swapaxes(out.samples, 0, 1)
+        return super().resume(path, n_collect)
 
     # -- extras -------------------------------------------------------------
     @property
