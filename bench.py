@@ -518,7 +518,13 @@ def _rank_gate(sample):
             )
             if attempt == 2 or _left() < 900:
                 return
-            time.sleep(20.0)
+            # same medicine as the diagnostics ladder: drop the (possibly
+            # poisoned) cached executables so the retry re-requests a
+            # fresh server-side compile, and give the helper longer to
+            # respawn each round (the round-5 NUTS rehearsal showed 20 s
+            # flat retries alone don't clear the sticky state)
+            jax.clear_caches()
+            time.sleep(20.0 * (attempt + 1))
 
 
 def _attach_with_watchdog():
