@@ -323,6 +323,42 @@ def _emit(min_ess_per_sec, rhat_max, grad_evals_per_sec, n_collect, note="",
 _CPU_DIAG_MAX_BYTES = int(os.environ.get("GMT_BENCH_CPU_DIAG_MAX", 4 << 30))
 
 
+def _d2h_steps_chunked(sample, n_steps):
+    """Pull the first ``n_steps`` of a steps-major resident sample to host
+    numpy in ≤256 MiB major-axis slices with per-chunk retries.
+
+    BENCH_r04 post-mortem (VERDICT r4 #1): a monolithic
+    ``jax.device_put(sample, cpu)`` pulled the whole sample D2H in one
+    shot through the same sick tunnel the compile retries just failed
+    on — the fallback shared its failure domain.  Chunked major-axis
+    (steps) slices survive transient faults and never relayout (steps is
+    the major axis of the pinned (0,2,1) layout; minor-axis slicing is
+    the round-3 relayout trap)."""
+    import numpy as np
+
+    per_step = sample.size // sample.shape[0] * sample.dtype.itemsize
+    chunk = max(1, int((256 << 20) // per_step))
+    parts = []
+    for s in range(0, n_steps, chunk):
+        blk = sample[s : min(s + chunk, n_steps)]
+        for attempt in range(3):
+            try:
+                parts.append(np.asarray(blk))
+                break
+            except (jax.errors.JaxRuntimeError, RuntimeError, ValueError):
+                if attempt == 2:
+                    raise
+                print(
+                    f"chunk D2H failed at step {s} (attempt {attempt + 1}), "
+                    "retrying",
+                    file=sys.stderr,
+                )
+                time.sleep(10 * (attempt + 1))
+    out = np.concatenate(parts, axis=0)
+    del parts
+    return out
+
+
 def _diagnostics_with_retry(sample, tries=3):
     """split_rhat_mean_ess with retries: the remote tunnel's compile helper
     (a server-side subprocess shared across compiles) sometimes crashes with
@@ -378,35 +414,7 @@ def _diagnostics_with_retry(sample, tries=3):
         file=sys.stderr,
     )
     t0 = time.perf_counter()
-    # BENCH_r04 post-mortem (VERDICT r4 #1): the old monolithic
-    # `jax.device_put(sample, cpu)` pulled the whole sample D2H in one shot
-    # through the same sick tunnel the retries just failed on — the
-    # fallback shared its failure domain.  Chunked major-axis (steps)
-    # slices with per-chunk retries survive transient faults and never
-    # relayout (steps is the major axis of the pinned (0,2,1) layout).
-    import numpy as np
-
-    n0 = sample.shape[0]
-    per_step = sample.size // n0 * sample.dtype.itemsize
-    chunk = max(1, int((256 << 20) // per_step))
-    parts = []
-    for s in range(0, n0, chunk):
-        blk = sample[s : min(s + chunk, n0)]
-        for attempt in range(3):
-            try:
-                parts.append(np.asarray(blk))
-                break
-            except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e2:
-                if attempt == 2:
-                    raise last_exc from e2
-                print(
-                    f"chunk D2H failed at step {s} (attempt {attempt + 1}), "
-                    f"retrying: {str(e2)[:200]}",
-                    file=sys.stderr,
-                )
-                time.sleep(10 * (attempt + 1))
-    host = np.concatenate(parts, axis=0)
-    del parts
+    host = _d2h_steps_chunked(sample, sample.shape[0])
     with jax.default_device(cpu):
         out = split_rhat_mean_ess(host, steps_major=True, return_moments=True)
         jax.block_until_ready(out)
@@ -475,7 +483,15 @@ def _rank_gate(sample):
     memory-bounded, TPU-validated round 4) on the resident headline sample,
     printed to stderr next to the classic split-R-hat gate.  Non-fatal and
     budget-gated: the headline JSON line is already out, and the logistic
-    stretch leg (the round-5 priority) still needs ~420 s of budget."""
+    stretch leg (the round-5 priority) still needs ~420 s of budget.
+
+    Failure ladder (both round-5 rehearsals lost this line to the sticky
+    compile-helper flake, so the gate now guarantees SOME rank line):
+    3 on-device attempts with executable-cache clears + escalating
+    backoff, then a host-CPU computation on a ≤2 GiB steps-prefix of the
+    sample pulled over the proven chunked D2H path — no helper compile
+    involved, so it cannot flake; the prefix is labeled in the output
+    (R-hat over the first K steps is a valid, slightly weaker gate)."""
     if os.environ.get("GMT_BENCH_SKIP_RANK_GATE") == "1" or _left() < 900:
         print(
             f"rank-normalized gate skipped (budget left {_left():.0f}s)",
@@ -516,8 +532,8 @@ def _rank_gate(sample):
                 f"(non-fatal): {type(e).__name__}: {str(e)[:500]}",
                 file=sys.stderr,
             )
-            if attempt == 2 or _left() < 900:
-                return
+            if attempt == 2 or _left() < 750:
+                break
             # same medicine as the diagnostics ladder: drop the (possibly
             # poisoned) cached executables so the retry re-requests a
             # fresh server-side compile, and give the helper longer to
@@ -525,6 +541,48 @@ def _rank_gate(sample):
             # flat retries alone don't clear the sticky state)
             jax.clear_caches()
             time.sleep(20.0 * (attempt + 1))
+    if _left() < 600:
+        print(
+            f"rank-normalized gate CPU fallback skipped (budget left "
+            f"{_left():.0f}s)",
+            file=sys.stderr,
+        )
+        return
+    try:
+        from general_mcmc_tpu.diagnostics.stats import rank_normalized_summary
+
+        per_step = sample.size // sample.shape[0] * sample.dtype.itemsize
+        n_steps = min(sample.shape[0], max(2, (2 << 30) // per_step))
+        # split-R-hat needs an even step count
+        n_steps -= n_steps % 2
+        t0 = time.perf_counter()
+        host = _d2h_steps_chunked(sample, n_steps)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            rs = rank_normalized_summary(host, steps_major=True)
+            jax.block_until_ready(rs)
+        rhat = float(jnp.max(rs.rhat))
+        bulk = float(jnp.min(rs.ess_bulk))
+        tail = float(jnp.min(rs.ess_tail))
+        print(
+            f"rank-normalized gate (host CPU, first {n_steps}/"
+            f"{sample.shape[0]} steps): max R-hat {rhat:.4f}, min bulk-ESS "
+            f"{bulk:.0f}, min tail-ESS {tail:.0f} "
+            f"({time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+        )
+        if rhat >= 1.01:
+            print(
+                f"WARNING: rank-normalized R-hat {rhat:.3f} >= 1.01 — "
+                "disagrees with the classic split-R-hat gate",
+                file=sys.stderr,
+            )
+    except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
+        print(
+            f"rank-normalized gate CPU fallback failed (non-fatal): "
+            f"{type(e).__name__}: {str(e)[:500]}",
+            file=sys.stderr,
+        )
 
 
 def _attach_with_watchdog():
