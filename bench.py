@@ -541,7 +541,11 @@ def _rank_gate(sample):
             # flat retries alone don't clear the sticky state)
             jax.clear_caches()
             time.sleep(20.0 * (attempt + 1))
-    if _left() < 600:
+    # 1000 s: the measured fallback wall at the headline shape is ~533 s
+    # for a 2 GiB prefix (BENCH round-5 final rehearsal) — the gate must
+    # never squeeze the logistic leg's 420 s allowance, so it only runs
+    # when both comfortably fit.
+    if _left() < 1000:
         print(
             f"rank-normalized gate CPU fallback skipped (budget left "
             f"{_left():.0f}s)",
@@ -552,7 +556,7 @@ def _rank_gate(sample):
         from general_mcmc_tpu.diagnostics.stats import rank_normalized_summary
 
         per_step = sample.size // sample.shape[0] * sample.dtype.itemsize
-        n_steps = min(sample.shape[0], max(2, (2 << 30) // per_step))
+        n_steps = min(sample.shape[0], max(2, (1 << 30) // per_step))
         # split-R-hat needs an even step count
         n_steps -= n_steps % 2
         t0 = time.perf_counter()
