@@ -131,3 +131,40 @@ def test_diagnostics_retry_falls_back_to_cpu(monkeypatch):
     monkeypatch.setattr(bench, "_CPU_DIAG_MAX_BYTES", 10)
     with pytest.raises(ValueError, match="TPU backend error"):
         bench._diagnostics_with_retry(x, tries=2)
+
+
+def test_rank_gate_falls_back_to_cpu_prefix(monkeypatch, capsys):
+    """Round-5 incident: BOTH driver-style rehearsals lost the
+    rank-normalized gate line to the sticky compile-helper flake, and the
+    on-device retries (even with executable-cache clears) never cleared
+    it.  The gate's final rung therefore computes the summary on a
+    host-CPU steps-prefix pulled over the chunked D2H path; it must print
+    a labeled gate line with the correct statistics instead of giving up."""
+    import bench
+    import general_mcmc_tpu.diagnostics.stats as stats
+
+    real = stats.rank_normalized_summary
+    calls = {"n": 0}
+
+    def flaky(sample, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+        return real(sample, **kw)
+
+    monkeypatch.setattr(stats, "rank_normalized_summary", flaky)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((64, 16, 3)).astype(np.float32)
+    )
+    bench._rank_gate(x)
+    err = capsys.readouterr().err
+    assert calls["n"] == 4  # 3 on-device failures + the CPU fallback call
+    assert "rank-normalized gate (host CPU, first" in err
+    assert "max R-hat" in err
+
+    # the happy path prints the plain gate line on the first attempt
+    calls["n"] = 10
+    bench._rank_gate(x)
+    err = capsys.readouterr().err
+    assert "rank-normalized gate: max R-hat" in err
