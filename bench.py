@@ -691,7 +691,7 @@ def logistic_extra():
     r3 #2): the BASELINE.md stretch workload — 50-d non-centered
     hierarchical logistic regression (n_obs=256) — with its own measured
     CPU surrogate (docs/CPU_BASELINE.json \"logistic\").  Default sampler:
-    ChEES-HMC (768 warmup, δ=0.95, derived static L — the round-4
+    ChEES-HMC (256 warmup, δ=0.95, jitter 1.0 — round-5 swept; the round-4
     hardware champion: 3.16M min-ESS/s, R-hat 1.0019, 10.8× the NUTS
     stretch line once the criterion NaN latch was fixed);
     GMT_BENCH_LOGISTIC_SAMPLER=nuts reproduces the NUTS line (depth cap
@@ -730,8 +730,12 @@ def logistic_extra():
         # gauss headline
         ref_kind += " [surrogate runs the reference's NUTS]"
     cap = int(os.environ.get("GMT_BENCH_LOGISTIC_DEPTH", 5))
+    # ChEES warmup 256 = the measured knee (scripts/exp_logistic_warmup.py,
+    # round 5): min-ESS is warmup-invariant from 256 up at jitter 1.0
+    # (adaptation converged), so the old 768 was pure wall; 192
+    # under-adapts (min-ESS drops ~25% and the seed spread returns).
     warmup = int(os.environ.get(
-        "GMT_BENCH_LOGISTIC_WARMUP", 768 if family == "chees" else 384
+        "GMT_BENCH_LOGISTIC_WARMUP", 256 if family == "chees" else 384
     ))
     collect = int(os.environ.get("GMT_BENCH_LOGISTIC_COLLECT", 1024))
     backend = os.environ.get("GMT_BENCH_LOGISTIC_BACKEND", "static")
