@@ -3,8 +3,10 @@ small ill-conditioned Gaussian.  ``backend="static"`` runs all
 ``2^max_tree_depth − 1`` leapfrogs up front and evaluates the tree logic
 retrospectively (ops/static_tree.py); it produces the dynamic tree's exact
 transition law and wins whenever trees are near-saturated at a small depth
-cap (set ``max_tree_depth`` ≤ ~5; for deep caps use the default ``"xla"``
-tree).  Supports identity, diagonal and dense mass matrices."""
+cap (set ``max_tree_depth`` ≤ ~5; for deep caps use the ``"xla"`` tree —
+or let the default ``backend="auto"`` measure the warmup and decide, see
+examples/auto_backend_nuts.py).  Supports identity, diagonal and dense
+mass matrices."""
 
 import jax.numpy as jnp
 

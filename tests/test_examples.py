@@ -197,3 +197,14 @@ def test_chees_hmc_example():
     flat = np.asarray(sample).reshape(-1, 16)
     scales = np.exp(np.linspace(0.0, np.log(10.0), 16))
     np.testing.assert_allclose(flat.std(axis=0), scales, rtol=0.12)
+
+
+def test_auto_backend_nuts_example():
+    import numpy as np
+    import auto_backend_nuts
+
+    sample_a, sample_b = auto_backend_nuts.main()  # asserts choices internally
+    for s in (sample_a, sample_b):
+        flat = np.asarray(s)[:, 128:, :].reshape(-1, 8)
+        assert np.abs(flat.mean(axis=0)).max() < 0.3
+        np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=0.25)
